@@ -1,0 +1,487 @@
+"""GP-MPC: nonlinear MPC with GP residual dynamics and chance-constraint tightening.
+
+≙ /root/reference/gpmpc/gpmpc.py:15-514, rebuilt TPU-first. Key structural changes
+from the reference (all behavior-preserving unless flagged as a documented quirk):
+
+  * No codegen boundary. The reference re-generates and recompiles an acados C
+    solver whenever the GP dataset size changes (gpmpc.py:97-108,213-218). Here the
+    GP dataset lives in fixed-capacity padded buffers inside `GpModel`, which is a
+    *runtime argument* of one jitted controller step — retraining the GP is a pure
+    data update and never triggers recompilation.
+  * No dual GP representation. The reference trains in GPyTorch and re-expresses
+    the posterior mean in CasADi, synchronizing numerics at recompile time
+    (gp.py:72-85, gpmpc.py:402-423). Here the same jnp kernel expression serves
+    training, in-dynamics mean, and tightening variance.
+  * The GP-augmented dynamics (setup_acados_model, gpmpc.py:166-221) are a traced
+    function: prior f(x, u) plus the residual rotated into world axes by
+    (cos phi sin theta, -sin phi, cos phi cos theta) at rows [1, 3, 5] and the
+    phi/theta rate-residual rows [9, 10] (gpmpc.py:193-197), RK4-discretized.
+  * Constraint tightening (propagate_constraint_limits, gpmpc.py:425-498) is a
+    `lax.scan` over the horizon, and tightened constraints enter the QP directly
+    as per-stage box bounds instead of acados runtime parameters.
+
+Documented quirks deliberately not copied (SURVEY.md §7):
+  * the x-axis variance rotation factor uses the mathematically consistent
+    (cos phi sin theta)^2; the reference computes cos(phi) * sin(theta)^2
+    (gpmpc.py:448) — a missing square on the cosine;
+  * predictive variance excludes the likelihood noise term (the reference adds
+    noise twice: once inside `gp.likelihood(...)` at gpmpc.py:444 and again via
+    cov_noise_batch at gpmpc.py:459-465); the noise still enters once through
+    cov_noise, matching intent;
+  * preprocessing uses the actual env dt rather than a hardcoded 1/60
+    (gpmpc.py:127);
+  * posterior weights come from Cholesky solves, not dense inverses (gp.py:46).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.control import mpc as mpc_mod
+from gpmpc_tpu.control.mpc import MPC, MpcConsts, MpcState
+from gpmpc_tpu.gp.exact_gp import (
+    GPData,
+    GPHypers,
+    fit_gp,
+    posterior,
+    predict_var,
+)
+from gpmpc_tpu.gp.kernels import se_kernel
+from gpmpc_tpu.gp.sparse import fitc_posterior_mean, select_inducing
+from gpmpc_tpu.models import quadrotor
+from gpmpc_tpu.models.quadrotor import GRAVITY, QuadrotorParams
+from gpmpc_tpu.models.symbolic import SymbolicModel
+from gpmpc_tpu.ops import discretize_linear_system, lqr_gain_discrete
+from gpmpc_tpu.ops.sqp import OcpBounds, SqpConfig, sqp_solve
+
+# Uncertainty enters rows [dx, dy, dz, dphi, dtheta] (gpmpc.py:68-69).
+UNCERTAIN_DIM = (1, 3, 5, 9, 10)
+# GP input layout: [thrust | phi, dphi, phi_cmd | theta, dtheta, theta_cmd]
+# (preprocess_data concat order, gpmpc.py:149; gp_idx at gpmpc.py:59).
+GP_IDX = ((0,), (1, 2, 3), (4, 5, 6))
+GP_INPUT_DIM = 3  # padded per-GP slice dimension
+NUM_GPS = 3
+
+
+class GpModel(NamedTuple):
+    """Padded GP ensemble state — a pure-data controller argument."""
+
+    # Full training set, per GP slice space. Leading axis: the 3 GPs.
+    Z: jax.Array  # (3, M, 3)
+    y: jax.Array  # (3, M)
+    mask: jax.Array  # (3, M)
+    hypers: GPHypers  # leaves shaped (3,)
+    chol: jax.Array  # (3, M, M) Cholesky of K + sigma^2 I
+    alpha_full: jax.Array  # (3, M) exact posterior weights
+    # Mean-prediction inducing set: FITC subset if sparse, else the full set.
+    Zs: jax.Array  # (3, Ms, 3)
+    alpha_s: jax.Array  # (3, Ms)
+    trained: jax.Array  # scalar bool
+
+
+class GpMpcConsts(NamedTuple):
+    mpc: MpcConsts
+    Ad: jax.Array  # (nx, nx) exact discretization of prior Jacobian at equilibrium
+    Bd_in: jax.Array  # (nx, nu)
+    lqr_gain: jax.Array  # (nu, nx)
+    Bd: jax.Array  # (nx, 5) uncertainty injection matrix
+    inverse_cdf: jax.Array  # scalar chance-constraint quantile
+    dt: jax.Array  # scalar
+
+
+def empty_gp_model(max_points: int, max_inducing: int, dtype=jnp.float32) -> GpModel:
+    M, Ms = max_points, max_inducing
+    zeros3 = jnp.zeros((NUM_GPS,), dtype)
+    return GpModel(
+        Z=jnp.zeros((NUM_GPS, M, GP_INPUT_DIM), dtype),
+        y=jnp.zeros((NUM_GPS, M), dtype),
+        mask=jnp.zeros((NUM_GPS, M), dtype),
+        hypers=GPHypers(zeros3, zeros3, zeros3),
+        chol=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
+        alpha_full=jnp.zeros((NUM_GPS, M), dtype),
+        Zs=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
+        alpha_s=jnp.zeros((NUM_GPS, Ms), dtype),
+        trained=jnp.asarray(False),
+    )
+
+
+def slice_gp_inputs(x7: jax.Array) -> jax.Array:
+    """(..., 7) GP input rows -> (3, ..., 3) padded per-GP slices."""
+    pads = []
+    for idx in GP_IDX:
+        cols = [x7[..., i] for i in idx]
+        while len(cols) < GP_INPUT_DIM:
+            cols.append(jnp.zeros_like(x7[..., 0]))
+        pads.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(pads, axis=0)
+
+
+def gp_input_from_xu(x: jax.Array, u: jax.Array) -> jax.Array:
+    """(x, u) -> the 7-dim GP input [T, phi, dphi, phi_cmd, theta, dtheta, theta_cmd].
+
+    ≙ the z-index selection idx_T/idx_R/idx_P at gpmpc.py:173.
+    """
+    return jnp.stack(
+        [
+            u[..., 0],
+            x[..., quadrotor.IDX_PHI], x[..., quadrotor.IDX_DPHI], u[..., 1],
+            x[..., quadrotor.IDX_THETA], x[..., quadrotor.IDX_DTHETA], u[..., 2],
+        ],
+        axis=-1,
+    )
+
+
+def gp_residual(gp: GpModel, x: jax.Array, u: jax.Array) -> jax.Array:
+    """Residual dynamics term (12,). ≙ res_dyn, gpmpc.py:193-197."""
+    z = slice_gp_inputs(gp_input_from_xu(x, u))  # (3, 3)
+
+    def mean_one(Zs_i, alpha_i, ell_i, sf2_i, z_i):
+        k = se_kernel(z_i[None, :], Zs_i, ell_i, sf2_i)[0]
+        return jnp.dot(k, alpha_i)
+
+    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+    preds = jax.vmap(mean_one)(gp.Zs, gp.alpha_s, ell, sf2, z)
+    T_pred, R_pred, P_pred = preds[0], preds[1], preds[2]
+
+    phi, theta = x[quadrotor.IDX_PHI], x[quadrotor.IDX_THETA]
+    ax = T_pred * jnp.cos(phi) * jnp.sin(theta)
+    ay = T_pred * (-jnp.sin(phi))
+    az = T_pred * jnp.cos(phi) * jnp.cos(theta)
+    res = jnp.zeros_like(x)
+    res = res.at[quadrotor.IDX_DX].set(ax)
+    res = res.at[quadrotor.IDX_DY].set(ay)
+    res = res.at[quadrotor.IDX_DZ].set(az)
+    res = res.at[quadrotor.IDX_DPHI].set(R_pred)
+    res = res.at[quadrotor.IDX_DTHETA].set(P_pred)
+    return res
+
+
+def augmented_fd(model: SymbolicModel, gp: GpModel, x: jax.Array, u: jax.Array) -> jax.Array:
+    """RK4 discretization of prior + GP residual (≙ gpmpc.py:199-209)."""
+    f = lambda x_, u_: model.fc_func(x_, u_) + gp_residual(gp, x_, u_)
+    return quadrotor.rk4(f, x, u, model.dt)
+
+
+def propagate_constraint_limits(
+    consts: GpMpcConsts,
+    gp: GpModel,
+    x_prev: jax.Array,  # (T+1, nx) previous MPC solution
+    u_prev: jax.Array,  # (T, nu)
+) -> tuple[jax.Array, jax.Array]:
+    """Per-stage bound tightenings (t_x: (T+1, nx), t_u: (T, nu)), both >= 0.
+
+    ≙ propagate_constraint_limits, gpmpc.py:425-498. The reference returns signed
+    constraint offsets for the [-I; I] constraint rows; since |A| = 1 for box rows,
+    the tightening magnitude ppf * sqrt(diag(cov)) applies symmetrically to both
+    sides, which is how it is returned here.
+    """
+    T = u_prev.shape[0]
+    nx = x_prev.shape[1]
+    z7 = gp_input_from_xu(x_prev[:-1], u_prev)  # (T, 7)
+    z_slices = slice_gp_inputs(z7)  # (3, T, 3)
+
+    def var_one(Z_i, y_i, mask_i, chol_i, alpha_i, h_raw, z_i):
+        hyp = GPHypers(*h_raw)
+        data = GPData(x=Z_i, y=y_i, mask=mask_i)
+        post = posterior(hyp, data)._replace(chol=chol_i, alpha=alpha_i)
+        return predict_var(hyp, data, post, z_i, include_noise=False)
+
+    covs_diag = jax.vmap(
+        lambda Z_i, y_i, m_i, c_i, a_i, h0, h1, h2, z_i: var_one(
+            Z_i, y_i, m_i, c_i, a_i, (h0, h1, h2), z_i
+        )
+    )(
+        gp.Z, gp.y, gp.mask, gp.chol, gp.alpha_full,
+        gp.hypers.raw_lengthscale, gp.hypers.raw_outputscale, gp.hypers.raw_noise,
+        z_slices,
+    )  # (3, T)
+
+    phi = z7[:, 1]
+    theta = z7[:, 4]
+    f_ax = (jnp.cos(phi) * jnp.sin(theta)) ** 2
+    f_ay = jnp.sin(phi) ** 2
+    f_az = (jnp.cos(phi) * jnp.cos(theta)) ** 2
+
+    dt2 = consts.dt**2
+    noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6  # (3,)
+    # Diagonals of the 5x5 disturbance covariance per stage (gpmpc.py:452-469).
+    cov_d = jnp.stack(
+        [covs_diag[0] * f_ax, covs_diag[0] * f_ay, covs_diag[0] * f_az,
+         covs_diag[1], covs_diag[2]],
+        axis=1,
+    ) * dt2  # (T, 5)
+    cov_n = jnp.stack(
+        [noise[0] * f_ax, noise[0] * f_ay, noise[0] * f_az,
+         jnp.full_like(f_ax, noise[1]), jnp.full_like(f_ax, noise[2])],
+        axis=1,
+    ) * dt2
+
+    K = consts.lqr_gain
+    A, B, Bd = consts.Ad, consts.Bd_in, consts.Bd
+    ppf = consts.inverse_cdf
+
+    def step(cov_x, inputs):
+        cov_d_k, cov_n_k = inputs
+        cov_xu = cov_x @ K.T
+        cov_u = K @ cov_x @ K.T
+        t_x = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_x), 0.0))
+        t_u = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_u), 0.0))
+        cov_next = (
+            A @ cov_x @ A.T
+            + A @ cov_xu @ B.T
+            + B @ cov_xu.T @ A.T
+            + B @ cov_u @ B.T
+            + Bd @ jnp.diag(cov_d_k + cov_n_k) @ Bd.T
+        )
+        return cov_next, (t_x, t_u)
+
+    cov0 = jnp.zeros((nx, nx), x_prev.dtype)
+    cov_T, (t_x_path, t_u) = jax.lax.scan(step, cov0, (cov_d, cov_n))
+    t_x_term = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_T), 0.0))
+    t_x = jnp.concatenate([t_x_path, t_x_term[None]], axis=0)
+    return t_x, t_u
+
+
+def select_action(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    state: MpcState,
+    obs: jax.Array,
+) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
+    """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368."""
+    T = consts.mpc.uref.shape[0]
+    c = consts.mpc
+
+    # First step has no previous rollout -> zero tightening (gpmpc.py:432-433).
+    t_x, t_u = propagate_constraint_limits(consts, gp, state.X_warm, state.U_warm)
+    use = jnp.logical_and(state.traj_step > 0, gp.trained)
+    t_x = jnp.where(use, t_x, 0.0)
+    t_u = jnp.where(use, t_u, 0.0)
+
+    # Keep tightened boxes feasible: never consume more than 45% of the interval
+    # from each side (the reference would instead hit an acados failure status).
+    lx = jnp.tile(c.lx[None], (T + 1, 1))
+    ux = jnp.tile(c.ux[None], (T + 1, 1))
+    lu = jnp.tile(c.lu[None], (T, 1))
+    uu = jnp.tile(c.uu[None], (T, 1))
+    t_x = jnp.minimum(t_x, 0.45 * (ux - lx))
+    t_u = jnp.minimum(t_u, 0.45 * (uu - lu))
+    bounds = OcpBounds(lx=lx + t_x, ux=ux - t_x, lu=lu + t_u, uu=uu - t_u)
+
+    fd = partial(augmented_fd, model, gp)
+    xref = mpc_mod.reference_window(c.traj, state.traj_step, T)
+    first = state.traj_step == 0
+    X_init = jnp.where(first, jnp.tile(obs[None], (T + 1, 1)), state.X_warm)
+    U_init = jnp.where(first, c.uref, state.U_warm)
+
+    cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
+    sol = sqp_solve(fd, cost, bounds, obs, X_init, U_init, cfg)
+
+    new_state = MpcState(traj_step=state.traj_step + 1, X_warm=sol.X, U_warm=sol.U)
+    info = mpc_mod.MpcInfo(
+        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
+    )
+    return sol.U[0], new_state, info
+
+
+class GPMPC:
+    """Stateful wrapper mirroring the reference GPMPC API (gpmpc.py:15-514)."""
+
+    U_EQ = np.array([0.3234, 0.0, 0.0, 0.0])
+
+    def __init__(
+        self,
+        symbolic_model: SymbolicModel,
+        traj,
+        prior_params: dict | None,
+        horizon: int,
+        q_mpc,
+        r_mpc,
+        sparse_gp: bool = False,
+        prob: float = 0.955,
+        max_gp_samples: int = 30,
+        seed: int = 1337,
+        device: str = "tpu",
+        output_dir=None,
+        max_gp_points: int = 128,
+        sqp_iters: int = 25,
+        qp_iters: int = 15,
+    ):
+        if prior_params is None or any(k not in prior_params for k in ("a", "b")):
+            raise ValueError("GPMPC requires prior_params to be defined and contain 'a' and 'b'.")
+        self.sparse = sparse_gp
+        self.output_dir = output_dir
+        self.model = symbolic_model
+        # Only the thrust-map coefficients are consumed here (the symbolic model
+        # already carries the full parameter set) — ≙ setup_symbolic_acceleration,
+        # gpmpc.py:322-325, and the a/b-only validation at gpmpc.py:43-44.
+        if isinstance(prior_params, QuadrotorParams):
+            self._acc_a, self._acc_b = float(prior_params.a), float(prior_params.b)
+        else:
+            self._acc_a, self._acc_b = float(prior_params["a"]), float(prior_params["b"])
+        self.dt = symbolic_model.dt
+        self.T = horizon
+        self.max_gp_samples = max_gp_samples
+        self.max_gp_points = max(max_gp_points, max_gp_samples)
+        self.np_random = np.random.default_rng(seed)
+        self._gp_key = jax.random.PRNGKey(seed)
+
+        traj = jnp.asarray(traj)
+        if traj.shape[0] < traj.shape[1]:
+            traj = traj.T
+
+        # Nominal prior controller (≙ gpmpc.py:72-80).
+        self.prior_ctrl = MPC(
+            symbolic_model, traj, q_mpc=q_mpc, r_mpc=r_mpc,
+            output_dir=output_dir, horizon=horizon,
+            sqp_iters=sqp_iters, qp_iters=qp_iters,
+        )
+        self.traj = traj
+
+        # Chance-constraint quantile (gpmpc.py:63-65).
+        nx = symbolic_model.nx
+        from scipy.stats import norm
+
+        inverse_cdf = norm.ppf(1 - (1 / nx - (prob + 1) / (2 * nx)))
+
+        # Prior linearization at equilibrium -> exact discretization + LQR gain
+        # (gpmpc.py:81-86,500-507).
+        x_eq = jnp.zeros(nx, jnp.float32)
+        u_eq = quadrotor.U_EQ
+        dfdx, dfdu = symbolic_model.df_func(x_eq, u_eq)
+        Ad, Bd_in = discretize_linear_system(
+            np.asarray(dfdx, np.float64), np.asarray(dfdu, np.float64), self.dt, exact=True
+        )
+        Q = np.diag(np.asarray(q_mpc, np.float64))
+        R = np.diag(np.asarray(r_mpc, np.float64))
+        lqr_K, _ = lqr_gain_discrete(Ad, Bd_in, Q, R)
+
+        Bd_mat = np.eye(nx)[:, list(UNCERTAIN_DIM)]
+        self.consts = GpMpcConsts(
+            mpc=self.prior_ctrl.consts,
+            Ad=jnp.asarray(Ad, jnp.float32),
+            Bd_in=jnp.asarray(Bd_in, jnp.float32),
+            lqr_gain=jnp.asarray(lqr_K, jnp.float32),
+            Bd=jnp.asarray(Bd_mat, jnp.float32),
+            inverse_cdf=jnp.asarray(inverse_cdf, jnp.float32),
+            dt=jnp.asarray(self.dt, jnp.float32),
+        )
+        self.cfg = SqpConfig(sqp_iters=sqp_iters, qp_iters=qp_iters)
+        self.gp_model = empty_gp_model(self.max_gp_points, self.max_gp_samples)
+        self.state = mpc_mod.init_state(horizon, nx, symbolic_model.nu)
+        self._requires_recompile = False  # API compat: re-jit never needed here.
+        self._step = jax.jit(partial(select_action, self.model, self.cfg))
+        self._fit = jax.jit(
+            jax.vmap(lambda d: fit_gp(d, n_train=self._n_train, lr=self._lr)),
+            static_argnames=(),
+        )
+
+    # -- training-data path ---------------------------------------------------
+
+    def preprocess_data(self, x, u, x_next):
+        """Rollout transitions -> GP inputs (N, 7) and residual targets (N, 3).
+
+        ≙ preprocess_data, gpmpc.py:113-151, with dt = the model/env step (the
+        reference hardcodes 1/60 here; documented quirk).
+        """
+        x = np.asarray(x, np.float64)
+        u = np.asarray(u, np.float64)
+        x_next = np.asarray(x_next, np.float64)
+        dt = self.dt
+        thrust_cmd = u[:, 0]
+        x_dot = (x_next - x) / dt
+
+        acc = np.sqrt(x_dot[:, 1] ** 2 + x_dot[:, 3] ** 2 + (x_dot[:, 5] + GRAVITY) ** 2)
+        acc_prior = self._acc_a * thrust_cmd + self._acc_b
+        acc_target = acc - acc_prior
+        acc_input = thrust_cmd.reshape(-1, 1)
+
+        f_prior = np.asarray(jax.vmap(self.model.fc_func)(jnp.asarray(x), jnp.asarray(u)))
+
+        idx_phi, idx_d_phi, idx_phi_cmd = 6, 9, 1
+        phi_target = x_dot[:, idx_phi] - f_prior[:, idx_phi]
+        phi_input = np.stack((x[:, idx_phi], x[:, idx_d_phi], u[:, idx_phi_cmd]), axis=1)
+
+        idx_theta, idx_d_theta, idx_theta_cmd = 7, 10, 2
+        theta_target = x_dot[:, idx_theta] - f_prior[:, idx_theta]
+        theta_input = np.stack((x[:, idx_theta], x[:, idx_d_theta], u[:, idx_theta_cmd]), axis=1)
+
+        train_input = np.concatenate([acc_input, phi_input, theta_input], axis=-1)
+        train_output = np.stack((acc_target, phi_target, theta_target), axis=1)
+        return train_input, train_output
+
+    _n_train = 500
+    _lr = 0.001
+
+    def train_gp(self, x, y, lr: float, iterations: int):
+        """Fit the 3 GPs to (N, 7) inputs / (N, 3) targets. ≙ gpmpc.py:153-164.
+
+        Training is one jitted, GP-batched program; dataset growth only changes the
+        row mask, so no recompilation ever happens (vs. _requires_recompile=True in
+        the reference).
+        """
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y, np.float32)
+        n = x.shape[0]
+        M = self.max_gp_points
+        if n > M:
+            raise ValueError(f"GP dataset ({n}) exceeds capacity ({M}); raise max_gp_points")
+
+        Z = np.zeros((NUM_GPS, M, GP_INPUT_DIM), np.float32)
+        Y = np.zeros((NUM_GPS, M), np.float32)
+        mask = np.zeros((NUM_GPS, M), np.float32)
+        for i, idx in enumerate(GP_IDX):
+            Z[i, :n, : len(idx)] = x[:, list(idx)]
+            Y[i, :n] = y[:, i]
+            mask[i, :n] = 1.0
+        data = GPData(x=jnp.asarray(Z), y=jnp.asarray(Y), mask=jnp.asarray(mask))
+
+        if (iterations, lr) != (self._n_train, self._lr):
+            self._n_train, self._lr = iterations, lr
+            self._fit = jax.jit(jax.vmap(lambda d: fit_gp(d, n_train=iterations, lr=lr)))
+        hypers, _ = self._fit(data)
+
+        post = jax.vmap(posterior)(jax.vmap(lambda *h: GPHypers(*h))(*hypers), data)
+
+        if self.sparse:
+            # Random inducing subset shared across GPs (gpmpc.py:387-388).
+            self._gp_key, sub = jax.random.split(self._gp_key)
+            idx_s, s_mask = select_inducing(sub, data.mask[0], self.max_gp_samples)
+            Zs, alpha_s = jax.vmap(
+                lambda h0, h1, h2, d: fitc_posterior_mean(GPHypers(h0, h1, h2), d, idx_s, s_mask)
+            )(*hypers, data)
+        else:
+            Zs = data.x
+            alpha_s = post.alpha
+            # capacity mismatch: exact mode uses the full buffer as "inducing" set
+            if Zs.shape[1] != self.gp_model.Zs.shape[1]:
+                self.gp_model = empty_gp_model(M, M)
+
+        self.gp_model = GpModel(
+            Z=data.x, y=data.y, mask=data.mask,
+            hypers=GPHypers(*hypers),
+            chol=post.chol, alpha_full=post.alpha,
+            Zs=Zs, alpha_s=alpha_s,
+            trained=jnp.asarray(True),
+        )
+        self._requires_recompile = False
+
+    # -- control path ---------------------------------------------------------
+
+    def reset(self):
+        """≙ GPMPC.reset (gpmpc.py:94-111) — without the recompile branch, which
+        this design makes unnecessary."""
+        self.state = mpc_mod.init_state(self.T, self.model.nx, self.model.nu)
+
+    def select_action(self, obs) -> np.ndarray:
+        obs = jnp.asarray(obs, jnp.float32)
+        u, self.state, self._last_info = self._step(self.consts, self.gp_model, self.state, obs)
+        return np.asarray(u)

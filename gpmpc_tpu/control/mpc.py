@@ -1,0 +1,184 @@
+"""Nominal nonlinear MPC (full prior model, no GP).
+
+≙ /root/reference/gpmpc/mpc.py:12-193, rebuilt TPU-first: instead of emitting C via
+acados and calling it through ctypes each step, the whole controller step — periodic
+reference windowing, SQP with RK4-linearized dynamics, interior-point QP — is one
+jitted pure function over an explicit `MpcState`. Episodes `lax.scan` over it and
+scenario batches `vmap` over it.
+
+Contracts preserved (SURVEY.md §7):
+  * RK4 discretization of the continuous dynamics (mpc.py:75-82)
+  * LINEAR_LS cost W = blkdiag(Q, R), W_e = Q, with acados' default dt stage
+    scaling (mpc.py:98-110)
+  * hard box constraints on state and input (mpc.py:50-55); constraint tolerance
+    uh = +1e-8 (mpc.py:157) is represented exactly by the box bounds themselves
+  * periodic reference windowing (mpc.py:188-193)
+  * SQP with Gauss-Newton Hessian, <= 25 iterations (mpc.py:113-120)
+  * U_EQ = [0.3234, 0, 0, 0] input reference (mpc.py:15,41)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.models import quadrotor
+from gpmpc_tpu.models.symbolic import SymbolicModel
+from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, sqp_solve
+
+
+class MpcConsts(NamedTuple):
+    """Traced constants of one MPC problem instance."""
+
+    traj: jax.Array  # (N, nx) periodic reference
+    Q: jax.Array  # (nx, nx)
+    R: jax.Array  # (nu, nu)
+    uref: jax.Array  # (T, nu)
+    scale: jax.Array  # (T+1,) cost scaling (acados semantics: [dt...dt, 1])
+    lx: jax.Array  # (nx,)
+    ux: jax.Array  # (nx,)
+    lu: jax.Array  # (nu,)
+    uu: jax.Array  # (nu,)
+
+
+class MpcState(NamedTuple):
+    """Controller state threaded through an episode."""
+
+    traj_step: jax.Array  # int32
+    X_warm: jax.Array  # (T+1, nx)
+    U_warm: jax.Array  # (T, nu)
+
+
+class MpcInfo(NamedTuple):
+    X: jax.Array
+    U: jax.Array
+    step_norm: jax.Array
+    qp_gap: jax.Array
+    n_iters: jax.Array
+
+
+def make_consts(
+    model: SymbolicModel,
+    traj: jax.Array,
+    q_mpc,
+    r_mpc,
+    horizon: int,
+    dtype=jnp.float32,
+) -> MpcConsts:
+    assert len(q_mpc) == model.nx and len(r_mpc) == model.nu
+    lx, ux = quadrotor.state_bounds()
+    lu, uu = quadrotor.input_bounds()
+    scale = np.full(horizon + 1, model.dt)
+    scale[-1] = 1.0  # terminal stage unscaled (acados cost_scaling default)
+    return MpcConsts(
+        traj=jnp.asarray(traj, dtype),
+        Q=jnp.diag(jnp.asarray(q_mpc, dtype)),
+        R=jnp.diag(jnp.asarray(r_mpc, dtype)),
+        uref=jnp.tile(quadrotor.U_EQ.astype(dtype)[None], (horizon, 1)),
+        scale=jnp.asarray(scale, dtype),
+        lx=lx.astype(dtype),
+        ux=ux.astype(dtype),
+        lu=lu.astype(dtype),
+        uu=uu.astype(dtype),
+    )
+
+
+def init_state(horizon: int, nx: int = 12, nu: int = 4, dtype=jnp.float32) -> MpcState:
+    return MpcState(
+        traj_step=jnp.asarray(0, jnp.int32),
+        X_warm=jnp.zeros((horizon + 1, nx), dtype),
+        U_warm=jnp.tile(quadrotor.U_EQ.astype(dtype)[None], (horizon, 1)),
+    )
+
+
+def reference_window(traj: jax.Array, traj_step: jax.Array, horizon: int) -> jax.Array:
+    """Periodic reference window, (T+1, nx). ≙ mpc.py:188-193 (modulo wraparound)."""
+    idx = jnp.mod(traj_step + jnp.arange(horizon + 1), traj.shape[0])
+    return jnp.take(traj, idx, axis=0)
+
+
+def select_action(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    consts: MpcConsts,
+    state: MpcState,
+    obs: jax.Array,
+    bounds_override: OcpBounds | None = None,
+) -> tuple[jax.Array, MpcState, MpcInfo]:
+    """One MPC step. Pure; jit/vmap/scan-able.
+
+    ≙ MPC.select_action (mpc.py:172-186). Warm start: first solve initializes the
+    state trajectory at the current observation (the acados all-zero default guess
+    is meaningless under a pure-function API); subsequent solves reuse the previous
+    solution, like acados' persistent solver memory.
+    """
+    T = consts.uref.shape[0]
+    xref = reference_window(consts.traj, state.traj_step, T)
+
+    first = state.traj_step == 0
+    X_init = jnp.where(first, jnp.tile(obs[None], (T + 1, 1)), state.X_warm)
+    U_init = jnp.where(first, consts.uref, state.U_warm)
+
+    if bounds_override is None:
+        bounds = OcpBounds(
+            lx=jnp.tile(consts.lx[None], (T + 1, 1)),
+            ux=jnp.tile(consts.ux[None], (T + 1, 1)),
+            lu=jnp.tile(consts.lu[None], (T, 1)),
+            uu=jnp.tile(consts.uu[None], (T, 1)),
+        )
+    else:
+        bounds = bounds_override
+
+    cost = OcpCost(
+        xref=xref, uref=consts.uref, Q=consts.Q, R=consts.R, Qe=consts.Q, scale=consts.scale
+    )
+    sol = sqp_solve(model.fd_func, cost, bounds, obs, X_init, U_init, cfg)
+
+    new_state = MpcState(traj_step=state.traj_step + 1, X_warm=sol.X, U_warm=sol.U)
+    info = MpcInfo(
+        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
+    )
+    return sol.U[0], new_state, info
+
+
+class MPC:
+    """Stateful convenience wrapper mirroring the reference MPC API (mpc.py:12-193)."""
+
+    U_EQ = np.array([0.3234, 0.0, 0.0, 0.0])
+
+    def __init__(
+        self,
+        symbolic_model: SymbolicModel,
+        traj,
+        q_mpc,
+        r_mpc,
+        output_dir=None,
+        horizon: int = 5,
+        sqp_iters: int = 25,
+        qp_iters: int = 15,
+    ):
+        self.model = symbolic_model
+        self.T = horizon
+        self.traj = jnp.asarray(traj)
+        if self.traj.shape[0] < self.traj.shape[1]:  # accept (nx, N) like the reference
+            self.traj = self.traj.T
+        self.output_dir = output_dir
+        self.consts = make_consts(symbolic_model, self.traj, q_mpc, r_mpc, horizon)
+        self.cfg = SqpConfig(sqp_iters=sqp_iters, qp_iters=qp_iters)
+        self.state = init_state(horizon, symbolic_model.nx, symbolic_model.nu)
+        self._step = jax.jit(
+            partial(select_action, self.model, self.cfg), static_argnames=()
+        )
+
+    def reset(self):
+        """≙ MPC.reset (mpc.py:60-63)."""
+        self.state = init_state(self.T, self.model.nx, self.model.nu)
+
+    def select_action(self, obs) -> np.ndarray:
+        obs = jnp.asarray(obs, jnp.float32)
+        u, self.state, self._last_info = self._step(self.consts, self.state, obs)
+        return np.asarray(u)

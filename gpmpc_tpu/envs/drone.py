@@ -1,0 +1,130 @@
+"""On-device quadrotor figure-eight environment.
+
+Replaces the external crazyflow `DroneFigureEightXY-v0` gymnasium vec env that the
+reference wraps with `JaxToNumpy` (/root/reference/scripts/run_gp_mpc.py:150). The
+reference pays a JAX->numpy device round-trip on every step; here the env is a pure
+jitted function over an explicit `EnvState`, so whole episodes fuse into a single
+`lax.scan` with the controller, and scenario batches are just a leading `vmap` axis.
+
+The plant integrates the "true" quadrotor parameters (models/quadrotor.TRUE_PARAMS),
+which deliberately differ from the controller's prior fit (PRIOR_PARAMS) — the GP
+residual layer exists to learn that model mismatch, mirroring the reference's
+crazyflow-sim vs. identified-prior split.
+
+Design decision (documented quirk resolution, SURVEY.md §7): the reference's env
+steps at 60 Hz while the model dt is 0.02 s and `preprocess_data` hardcodes
+dt = 1/60 (/root/reference/gpmpc/gpmpc.py:127 vs scripts/run_gp_mpc.py:146). We run
+the env on the controller grid (dt = 0.02) and use the *same* dt consistently in
+data preprocessing; the mismatch is not reproduced.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.models import quadrotor
+from gpmpc_tpu.models.quadrotor import QuadrotorParams
+from gpmpc_tpu.models.trajectory import figure_eight_trajectory
+
+
+class EnvParams(NamedTuple):
+    params: QuadrotorParams
+    dt: float = 0.02
+    n_steps: int = 300  # episode length == trajectory period
+    sim_substeps: int = 2  # inner RK4 substeps per control step
+    init_noise: float = 0.02  # seed-dependent initial-state perturbation scale
+    traj_amplitude: float = 0.8
+    traj_height: float = 1.0
+
+    @classmethod
+    def default(cls) -> "EnvParams":
+        return cls(params=quadrotor.TRUE_PARAMS)
+
+
+class EnvState(NamedTuple):
+    x: jax.Array  # (12,) true state
+    t: jax.Array  # scalar int32 step counter
+    rng: jax.Array  # PRNG key
+
+
+def make_trajectory(p: EnvParams) -> jax.Array:
+    """The env's reference trajectory, (n_steps, 12). ≙ env.unwrapped.trajectory."""
+    return figure_eight_trajectory(
+        n_steps=p.n_steps, dt=p.dt, amplitude=p.traj_amplitude, height=p.traj_height
+    )
+
+
+@partial(jax.jit, static_argnums=0)
+def env_reset(p: EnvParams, seed_key: jax.Array) -> tuple[EnvState, jax.Array]:
+    """Reset to the trajectory start plus a small seed-dependent perturbation."""
+    traj0 = make_trajectory(p)[0]
+    key, sub = jax.random.split(seed_key)
+    x0 = traj0 + p.init_noise * jax.random.normal(sub, traj0.shape, traj0.dtype)
+    state = EnvState(x=x0, t=jnp.asarray(0, jnp.int32), rng=key)
+    return state, x0
+
+
+@partial(jax.jit, static_argnums=0)
+def env_step(
+    p: EnvParams, state: EnvState, action: jax.Array
+) -> tuple[EnvState, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One control step: integrate the true plant for `sim_substeps` RK4 substeps.
+
+    Returns (state, obs, reward, terminated, truncated) — the gymnasium step
+    contract flattened to arrays (≙ run_gp_mpc.py:59-66).
+    """
+    fc = partial(quadrotor.continuous_dynamics, params=p.params)
+    sub_dt = p.dt / p.sim_substeps
+    x = state.x
+    for _ in range(p.sim_substeps):
+        x = quadrotor.rk4(fc, x, action, sub_dt)
+    t = state.t + 1
+
+    traj = make_trajectory(p)
+    ref = traj[jnp.mod(t, p.n_steps)]
+    pos_err = jnp.stack([x[0] - ref[0], x[2] - ref[2], x[4] - ref[4]])
+    reward = -jnp.sum(pos_err**2)
+
+    s_low, s_high = quadrotor.state_bounds()
+    terminated = jnp.logical_or(jnp.any(x < 2 * s_low), jnp.any(x > 2 * s_high))
+    truncated = t >= p.n_steps
+    return EnvState(x=x, t=t, rng=state.rng), x, reward, terminated, truncated
+
+
+class DroneFigureEightEnv:
+    """Thin stateful wrapper with a gymnasium-like API for script-level use.
+
+    The functional core (`env_reset` / `env_step`) is the real interface; this class
+    only mirrors the reference driver's calling convention
+    (/root/reference/scripts/run_gp_mpc.py:42-66) for the experiment scripts.
+    """
+
+    def __init__(self, params: EnvParams | None = None):
+        self.p = params or EnvParams.default()
+        self._state: EnvState | None = None
+
+    @property
+    def trajectory(self):
+        return make_trajectory(self.p)
+
+    @property
+    def dt(self) -> float:
+        return self.p.dt
+
+    def reset(self, seed: int = 0):
+        state, obs = env_reset(self.p, jax.random.PRNGKey(seed))
+        self._state = state
+        return obs, {}
+
+    def step(self, action):
+        self._state, obs, reward, terminated, truncated = env_step(
+            self.p, self._state, jnp.asarray(action).reshape(-1)
+        )
+        return obs, reward, bool(terminated), bool(truncated), {}
+
+    def close(self):
+        self._state = None

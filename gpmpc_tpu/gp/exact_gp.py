@@ -1,0 +1,194 @@
+"""Exact Gaussian-process regression: training and posterior, fully jitted.
+
+≙ /root/reference/gpmpc/gp.py:24-85 (GPyTorch ExactGP with ZeroMean +
+ScaleKernel(RBFKernel) + GaussianLikelihood, Adam on the exact marginal
+log-likelihood with |delta loss| < 1e-3 early stopping) — rebuilt in JAX:
+
+  * Hyperparameters use the same softplus "raw" parameterization and the same
+    initial values as GPyTorch defaults (raw = 0 -> value ~0.6931; noise has the
+    GreaterThan(1e-6) shift, gp.py:31), so training trajectories are comparable.
+  * The training loop is a fixed-length `lax.scan` whose updates freeze once the
+    early-stop criterion fires (gp.py:65-66) — jit-stable, vmap-able over a GP
+    ensemble, identical semantics.
+  * The posterior uses Cholesky solves; the reference materializes a dense K^-1
+    (`torch.linalg.inv`, gp.py:46) — a documented quirk we deliberately do not copy
+    (SURVEY.md §7).
+  * Datasets live in fixed-capacity padded buffers with row masks (see
+    kernels.py docstring): padded rows get a unit diagonal and zero target, which
+    leaves the likelihood, posterior, and gradients of active rows exactly
+    unchanged, and removes the reference's retrain->recompile cycle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.gp.kernels import se_kernel
+
+_LOG_2PI = 1.8378770664093453
+
+
+class GPData(NamedTuple):
+    """Padded training set for one GP (leading axes may batch an ensemble)."""
+
+    x: jax.Array  # (M, D) inputs; padded rows/cols zero
+    y: jax.Array  # (M,) targets; padded rows zero
+    mask: jax.Array  # (M,) 1.0 for active rows
+
+
+class GPHypers(NamedTuple):
+    """Raw (unconstrained) hyperparameters, GPyTorch-compatible transforms."""
+
+    raw_lengthscale: jax.Array  # scalar
+    raw_outputscale: jax.Array  # scalar
+    raw_noise: jax.Array  # scalar
+
+    @property
+    def lengthscale(self) -> jax.Array:
+        return jax.nn.softplus(self.raw_lengthscale)
+
+    @property
+    def outputscale(self) -> jax.Array:
+        return jax.nn.softplus(self.raw_outputscale)
+
+    @property
+    def noise(self) -> jax.Array:
+        # GaussianLikelihood(noise_constraint=GreaterThan(1e-6)), gp.py:31.
+        return jax.nn.softplus(self.raw_noise) + 1e-6
+
+
+class GPPosterior(NamedTuple):
+    """Cached factorization (≙ GaussianProcess.K / K_inv, gp.py:43-46, minus the
+    explicit inverse)."""
+
+    chol: jax.Array  # (M, M) lower Cholesky of K + sigma^2 I (unit rows on padding)
+    alpha: jax.Array  # (M,) (K + sigma^2 I)^-1 y
+
+
+def init_hypers(dtype=jnp.float32) -> GPHypers:
+    zero = jnp.zeros((), dtype)
+    return GPHypers(raw_lengthscale=zero, raw_outputscale=zero, raw_noise=zero)
+
+
+def _masked_gram(data: GPData, hypers: GPHypers) -> jax.Array:
+    """K(X, X) + sigma^2 I with padded rows/cols replaced by the identity.
+
+    A small outputscale-relative jitter keeps the float32 Cholesky stable when
+    inputs are nearly duplicated (e.g. the 1-d thrust GP clustered around hover);
+    it is orders of magnitude below the likelihood's noise floor effect on the fit.
+    """
+    K = se_kernel(data.x, data.x, hypers.lengthscale, hypers.outputscale)
+    mm = data.mask[:, None] * data.mask[None, :]
+    K = K * mm
+    jitter = 1e-6 * hypers.outputscale
+    diag = (hypers.noise + jitter) * data.mask + (1.0 - data.mask)
+    return K + jnp.diag(diag)
+
+
+def marginal_log_likelihood(hypers: GPHypers, data: GPData) -> jax.Array:
+    """Exact MLL averaged over active points (GPyTorch ExactMarginalLogLikelihood
+    semantics: `loss = -mll(output, y)` at gp.py:62 is per-datum)."""
+    K = _masked_gram(data, hypers)
+    chol = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), data.y)
+    n = jnp.maximum(jnp.sum(data.mask), 1.0)
+    quad = jnp.dot(data.y, alpha)
+    # Padded rows have unit diagonal -> log-det contribution 0.
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    return -0.5 * (quad + logdet + n * _LOG_2PI) / n
+
+
+class _AdamState(NamedTuple):
+    m: GPHypers
+    v: GPHypers
+    t: jax.Array
+
+
+def _adam_update(g, st: _AdamState, lr, b1=0.9, b2=0.999, eps=1e-8):
+    t = st.t + 1
+    m = jax.tree.map(lambda m_, g_: b1 * m_ + (1 - b1) * g_, st.m, g)
+    v = jax.tree.map(lambda v_, g_: b2 * v_ + (1 - b2) * g_ * g_, st.v, g)
+    mhat = jax.tree.map(lambda m_: m_ / (1 - b1**t), m)
+    vhat = jax.tree.map(lambda v_: v_ / (1 - b2**t), v)
+    step = jax.tree.map(lambda m_, v_: lr * m_ / (jnp.sqrt(v_) + eps), mhat, vhat)
+    return step, _AdamState(m=m, v=v, t=t)
+
+
+@partial(jax.jit, static_argnames=("n_train",))
+def fit_gp(
+    data: GPData,
+    hypers: GPHypers | None = None,
+    n_train: int = 500,
+    lr: float = 0.01,
+) -> tuple[GPHypers, jax.Array]:
+    """Adam on the negative MLL with |delta loss| < 1e-3 early-stop freezing.
+
+    ≙ fit_gp, /root/reference/gpmpc/gp.py:49-69. Fixed-length scan: iterations after
+    convergence are masked no-ops so one compiled program serves every dataset size.
+    Returns (hypers, final loss).
+    """
+    if hypers is None:
+        hypers = init_hypers(data.x.dtype)
+
+    loss_fn = lambda h: -marginal_log_likelihood(h, data)
+    grad_fn = jax.value_and_grad(loss_fn)
+    zeros = jax.tree.map(jnp.zeros_like, hypers)
+    adam0 = _AdamState(m=zeros, v=zeros, t=jnp.asarray(0, jnp.int32))
+
+    def body(carry, _):
+        h, adam, last_loss, frozen = carry
+        loss, g = grad_fn(h)
+        step, adam_new = _adam_update(g, adam, lr)
+        h_new = jax.tree.map(lambda p, s: p - s, h, step)
+        # Early stopping if converged (gp.py:65-66): freeze all later updates.
+        now_frozen = jnp.logical_or(frozen, jnp.abs(last_loss - loss) < 1e-3)
+        h_out = jax.tree.map(lambda old, new: jnp.where(frozen, old, new), h, h_new)
+        adam_out = jax.tree.map(lambda old, new: jnp.where(frozen, old, new), adam, adam_new)
+        loss_out = jnp.where(frozen, last_loss, loss)
+        return (h_out, adam_out, loss_out, now_frozen), None
+
+    init = (hypers, adam0, jnp.asarray(jnp.inf, data.x.dtype), jnp.asarray(False))
+    (hypers, _, last_loss, _), _ = jax.lax.scan(body, init, None, length=n_train)
+    return hypers, last_loss
+
+
+def posterior(hypers: GPHypers, data: GPData) -> GPPosterior:
+    """Factorize K + sigma^2 I and cache alpha = K^-1 y (≙ compute_covariances,
+    gp.py:43-46, but Cholesky-based)."""
+    K = _masked_gram(data, hypers)
+    chol = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), data.y)
+    return GPPosterior(chol=chol, alpha=alpha)
+
+
+def predict_mean(
+    hypers: GPHypers, data: GPData, post: GPPosterior, z: jax.Array
+) -> jax.Array:
+    """Posterior mean k(z, X) alpha at test points z: (n, D) -> (n,).
+
+    ≙ gpytorch_predict2casadi's exported mean (gp.py:72-85).
+    """
+    K_zx = se_kernel(z, data.x, hypers.lengthscale, hypers.outputscale) * data.mask[None, :]
+    return K_zx @ post.alpha
+
+
+def predict_var(
+    hypers: GPHypers, data: GPData, post: GPPosterior, z: jax.Array, include_noise: bool = True
+) -> jax.Array:
+    """Exact posterior variance diag at z: (n, D) -> (n,).
+
+    The reference approximates this with GPyTorch LOVE fast predictive variances
+    (fast_pred_var, gpmpc.py:443-445); at these dataset sizes the exact Cholesky
+    path is both cheaper and exact on TPU.
+    """
+    K_zx = se_kernel(z, data.x, hypers.lengthscale, hypers.outputscale) * data.mask[None, :]
+    v = jax.scipy.linalg.solve_triangular(post.chol, K_zx.T, lower=True)
+    var = hypers.outputscale - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var, 1e-12)
+    if include_noise:
+        var = var + hypers.noise
+    return var

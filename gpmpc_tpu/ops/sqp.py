@@ -1,0 +1,141 @@
+"""SQP solver for nonlinear trajectory-tracking OCPs.
+
+TPU-native replacement for the acados SQP runtime (configured by the reference at
+/root/reference/gpmpc/mpc.py:113-120: Gauss-Newton Hessian, DISCRETE integrator,
+nlp_solver_type="SQP", max 25 iterations, fixed full steps). Each iteration
+linearizes the discrete dynamics with `jax.jacfwd` (replacing CasADi symbolic
+Jacobians + acados C codegen — jit tracing *is* the codegen) and solves a
+box-constrained LQ-QP with the interior-point solver in `boxqp.py`.
+
+Everything is fixed-shape and fixed-iteration-count with a convergence mask, so a
+single compiled program serves every solve; batching over scenarios is `vmap`, and
+there is no per-model recompile (the reference pays a C-codegen + dlopen cycle per
+GP retrain, /root/reference/gpmpc/gpmpc.py:97-108).
+
+Cost convention (matches acados LINEAR_LS with Vx/Vu selection, W = blkdiag(Q, R),
+W_e = Q, /root/reference/gpmpc/mpc.py:98-110): stage costs are scaled by dt and the
+terminal cost by 1, mirroring acados' default `cost_scaling = [dt, ..., dt, 1]`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.ops.boxqp import BOUND_INF, OcpQpData, solve_ocp_qp
+
+
+class SqpConfig(NamedTuple):
+    sqp_iters: int = 25  # ≙ nlp_solver_max_iter (mpc.py:119)
+    qp_iters: int = 15
+    step_tol: float = 1e-6
+
+
+class OcpCost(NamedTuple):
+    """Tracking cost data. scale: (T+1,) per-stage cost scaling (acados semantics)."""
+
+    xref: jax.Array  # (T+1, nx)
+    uref: jax.Array  # (T, nu)
+    Q: jax.Array  # (nx, nx)
+    R: jax.Array  # (nu, nu)
+    Qe: jax.Array  # (nx, nx) terminal weight
+    scale: jax.Array  # (T+1,)
+
+
+class OcpBounds(NamedTuple):
+    """Per-stage box bounds (already tightened if applicable)."""
+
+    lx: jax.Array  # (T+1, nx)
+    ux: jax.Array  # (T+1, nx)
+    lu: jax.Array  # (T, nu)
+    uu: jax.Array  # (T, nu)
+
+
+class SqpSolution(NamedTuple):
+    X: jax.Array  # (T+1, nx)
+    U: jax.Array  # (T, nu)
+    step_norm: jax.Array  # last accepted step inf-norm
+    qp_gap: jax.Array  # last QP complementarity gap
+    n_iters: jax.Array  # iterations until convergence mask triggered
+
+
+def sqp_solve(
+    fd: Callable[[jax.Array, jax.Array], jax.Array],
+    cost: OcpCost,
+    bounds: OcpBounds,
+    x0: jax.Array,
+    X_init: jax.Array,
+    U_init: jax.Array,
+    cfg: SqpConfig,
+) -> SqpSolution:
+    """Solve the tracking OCP by Gauss-Newton SQP with full steps."""
+    T = U_init.shape[0]
+    nx = X_init.shape[1]
+    dtype = X_init.dtype
+
+    fd_jac = jax.vmap(jax.jacfwd(lambda x, u: fd(x, u), argnums=(0, 1)))
+    fd_batch = jax.vmap(fd)
+
+    stage_Q = cost.scale[:-1, None, None] * cost.Q[None]
+    term_Q = (cost.scale[-1] * cost.Qe)[None]
+    Qxx = jnp.concatenate([stage_Q, term_Q], axis=0)  # (T+1, nx, nx)
+    Ruu = cost.scale[:-1, None, None] * cost.R[None]  # (T, nu, nu)
+
+    # Pin x0 exactly (≙ lbx = ubx = obs at stage 0, mpc.py:174-175): stage-0 state is
+    # not a decision variable, so its delta bounds are disabled.
+    big = jnp.full((1, nx), BOUND_INF, dtype)
+
+    def body(carry, _):
+        X, U, converged, step_norm, qp_gap, n_iters = carry
+        X = X.at[0].set(x0)
+
+        A, B = fd_jac(X[:-1], U)
+        defect = fd_batch(X[:-1], U) - X[1:]
+
+        ex = X - cost.xref
+        eu = U - cost.uref
+        qx = jnp.einsum("kij,kj->ki", Qxx, ex)
+        ru = jnp.einsum("kij,kj->ki", Ruu, eu)
+
+        qp = OcpQpData(
+            A=A,
+            B=B,
+            r=defect,
+            Qxx=Qxx,
+            qx=qx,
+            Ruu=Ruu,
+            ru=ru,
+            lx=jnp.concatenate([-big, bounds.lx[1:] - X[1:]], axis=0),
+            ux=jnp.concatenate([big, bounds.ux[1:] - X[1:]], axis=0),
+            lu=bounds.lu - U,
+            uu=bounds.uu - U,
+        )
+        sol = solve_ocp_qp(qp, n_iter=cfg.qp_iters)
+
+        new_step = jnp.maximum(jnp.max(jnp.abs(sol.dx)), jnp.max(jnp.abs(sol.du)))
+        # Full Newton-type step (acados FIXED_STEP globalization); frozen once the
+        # convergence mask triggers so extra fixed iterations are no-ops.
+        active = jnp.logical_not(converged)
+        X_new = jnp.where(active, X + sol.dx, X)
+        U_new = jnp.where(active, U + sol.du, U)
+        step_norm = jnp.where(active, new_step, step_norm)
+        qp_gap = jnp.where(active, sol.gap, qp_gap)
+        n_iters = n_iters + active.astype(jnp.int32)
+        converged = jnp.logical_or(converged, new_step < cfg.step_tol)
+        return (X_new, U_new, converged, step_norm, qp_gap, n_iters), None
+
+    init = (
+        X_init,
+        U_init,
+        jnp.asarray(False),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    (X, U, _, step_norm, qp_gap, n_iters), _ = jax.lax.scan(
+        body, init, None, length=cfg.sqp_iters
+    )
+    X = X.at[0].set(x0)
+    return SqpSolution(X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters)

@@ -1,0 +1,140 @@
+"""GP layer tests: closed-form posterior parity, masking invariance, FITC, training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.gp.exact_gp import (
+    GPData,
+    GPHypers,
+    fit_gp,
+    init_hypers,
+    marginal_log_likelihood,
+    posterior,
+    predict_mean,
+    predict_var,
+)
+from gpmpc_tpu.gp.kernels import se_kernel
+from gpmpc_tpu.gp.sparse import fitc_posterior_mean, select_inducing
+
+
+def make_data(n=20, d=2, pad_to=32, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=n)
+    X = np.zeros((pad_to, 3))
+    Y = np.zeros(pad_to)
+    m = np.zeros(pad_to)
+    X[:n, :d] = x
+    Y[:n] = y
+    m[:n] = 1.0
+    return (
+        GPData(x=jnp.asarray(X, dtype), y=jnp.asarray(Y, dtype), mask=jnp.asarray(m, dtype)),
+        x,
+        y,
+    )
+
+
+def np_se(x1, x2, ell, sf2):
+    d2 = ((x1[:, None, :] - x2[None, :, :]) / ell) ** 2
+    return sf2 * np.exp(-0.5 * d2.sum(-1))
+
+
+def test_posterior_matches_closed_form():
+    data, x, y = make_data()
+    h = GPHypers(
+        raw_lengthscale=jnp.asarray(0.3, jnp.float64),
+        raw_outputscale=jnp.asarray(0.5, jnp.float64),
+        raw_noise=jnp.asarray(-1.0, jnp.float64),
+    )
+    ell, sf2, noise = float(h.lengthscale), float(h.outputscale), float(h.noise)
+    post = posterior(h, data)
+    z = np.array([[0.3, -0.2], [1.0, 0.5], [-1.5, 0.0]])
+    zp = np.zeros((3, 3))
+    zp[:, :2] = z
+    mean = predict_mean(h, data, post, jnp.asarray(zp))
+    var = predict_var(h, data, post, jnp.asarray(zp), include_noise=False)
+
+    # The production Gram adds a 1e-6 * sf2 stability jitter; mirror it here.
+    K = np_se(x, x, ell, sf2) + (noise + 1e-6 * sf2) * np.eye(len(x))
+    Kzx = np_se(z, x, ell, sf2)
+    mean_ref = Kzx @ np.linalg.solve(K, y)
+    var_ref = sf2 - np.einsum("ij,ij->i", Kzx, np.linalg.solve(K, Kzx.T).T)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-8)
+
+
+def test_padding_invariance():
+    """MLL and posterior are identical for pad_to=32 and pad_to=64."""
+    data_a, _, _ = make_data(pad_to=32)
+    data_b, _, _ = make_data(pad_to=64)
+    h = GPHypers(
+        raw_lengthscale=jnp.asarray(0.1, jnp.float64),
+        raw_outputscale=jnp.asarray(0.2, jnp.float64),
+        raw_noise=jnp.asarray(-0.5, jnp.float64),
+    )
+    mll_a = marginal_log_likelihood(h, data_a)
+    mll_b = marginal_log_likelihood(h, data_b)
+    np.testing.assert_allclose(float(mll_a), float(mll_b), rtol=1e-10)
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(5, 3)))
+    pa, pb = posterior(h, data_a), posterior(h, data_b)
+    np.testing.assert_allclose(
+        np.asarray(predict_mean(h, data_a, pa, z)),
+        np.asarray(predict_mean(h, data_b, pb, z)),
+        atol=1e-10,
+    )
+
+
+def test_fit_gp_learns_signal():
+    """Training improves the MLL and the fitted GP interpolates the data."""
+    data, x, y = make_data(n=24, seed=3)
+    h0 = init_hypers(jnp.float64)
+    mll0 = marginal_log_likelihood(h0, data)
+    h, loss = fit_gp(data, n_train=300, lr=0.05)
+    mll1 = marginal_log_likelihood(h, data)
+    assert float(mll1) > float(mll0)
+    post = posterior(h, data)
+    pred = predict_mean(h, data, post, data.x[:24])
+    resid = np.asarray(pred) - y
+    assert np.sqrt(np.mean(resid**2)) < 0.2
+
+
+def test_fit_gp_batched_vmap():
+    datas = [make_data(seed=s)[0] for s in range(3)]
+    batch = jax.tree.map(lambda *a: jnp.stack(a), *datas)
+    hypers, losses = jax.vmap(lambda d: fit_gp(d, n_train=50, lr=0.05))(batch)
+    h_single, loss_single = fit_gp(datas[1], n_train=50, lr=0.05)
+    np.testing.assert_allclose(
+        float(hypers.raw_lengthscale[1]), float(h_single.raw_lengthscale), rtol=1e-5
+    )
+
+
+def test_fitc_matches_exact_when_all_inducing():
+    """FITC with the full active set as inducing points reproduces the exact mean."""
+    data, x, y = make_data(n=15, pad_to=24)
+    h = GPHypers(
+        raw_lengthscale=jnp.asarray(0.4, jnp.float64),
+        raw_outputscale=jnp.asarray(0.3, jnp.float64),
+        raw_noise=jnp.asarray(-1.0, jnp.float64),
+    )
+    idx, s_mask = select_inducing(jax.random.PRNGKey(0), data.mask, 15)
+    Zs, alpha = fitc_posterior_mean(h, data, idx, s_mask)
+    z = np.zeros((4, 3))
+    z[:, :2] = np.random.default_rng(2).normal(size=(4, 2))
+    mean_fitc = se_kernel(jnp.asarray(z), Zs, h.lengthscale, h.outputscale) @ alpha
+
+    post = posterior(h, data)
+    mean_exact = predict_mean(h, data, post, jnp.asarray(z))
+    # 1e-6 jitter on K_ss bounds the agreement at ~1e-5
+    np.testing.assert_allclose(np.asarray(mean_fitc), np.asarray(mean_exact), atol=1e-4)
+
+
+def test_select_inducing_subset_of_active():
+    mask = jnp.asarray(np.r_[np.ones(10), np.zeros(22)])
+    idx, s_mask = select_inducing(jax.random.PRNGKey(1), mask, 8)
+    assert np.all(np.asarray(idx) < 10)
+    assert float(jnp.sum(s_mask)) == 8
+    # fewer active than requested
+    idx2, s_mask2 = select_inducing(jax.random.PRNGKey(1), mask, 16)
+    assert float(jnp.sum(s_mask2)) == 10
+    assert np.all(np.sort(np.asarray(idx2[:10])) == np.arange(10))
