@@ -1,0 +1,112 @@
+"""Headline benchmark: GP-MPC solves/sec on one chip.
+
+Runs the full per-step GP-MPC pipeline (chance-constraint covariance propagation +
+residual-GP-augmented SQP with interior-point QPs) for a batch of scenarios as one
+jitted program, and reports aggregate solves/sec.
+
+Problem size matches the reference default config (SURVEY.md §6): horizon T=25,
+nx=12, nu=4, 3 GPs with 40 FITC inducing points. The reference publishes no
+numbers (BASELINE.md); vs_baseline is measured against this project's north-star
+target of 1e4 solves/s aggregate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+NORTH_STAR = 1.0e4  # solves/s, BASELINE.json north_star
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC, pack_training_data, train_gp_models
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.parallel.batch import batched_gpmpc_step
+
+    prior_params = {
+        "a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
+        "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653,
+    }
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=prior_params)
+    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+    r = [3, 3, 3, 0.1]
+    ctrl = GPMPC(
+        model, env.trajectory, prior_params, horizon=25, q_mpc=q, r_mpc=r,
+        sparse_gp=True, prob=0.95, max_gp_samples=40, seed=1,
+        max_gp_points=128, sqp_iters=6, qp_iters=10,
+    )
+
+    # Train the GPs on a synthetic residual dataset of the reference's scale so the
+    # bench exercises the real augmented dynamics + tightening path.
+    rng = np.random.default_rng(0)
+    n_data = 60
+    x7 = np.zeros((n_data, 7), np.float32)
+    x7[:, 0] = rng.uniform(0.2, 0.5, n_data)  # thrust
+    x7[:, 1:] = rng.normal(0, 0.2, (n_data, 6))
+    y3 = np.stack(
+        [
+            4.0 + 0.5 * np.sin(5 * x7[:, 0]) + 0.01 * rng.normal(size=n_data),
+            0.1 * x7[:, 1] + 0.01 * rng.normal(size=n_data),
+            0.1 * x7[:, 4] + 0.01 * rng.normal(size=n_data),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    data = pack_training_data(jnp.asarray(x7), jnp.asarray(y3), ctrl.max_gp_points)
+    gp = jax.jit(
+        lambda d, k: train_gp_models(d, k, sparse=True, max_inducing=40, n_train=50, lr=0.05)
+    )(data, jax.random.PRNGKey(0))
+
+    B = int(os.environ.get("BENCH_BATCH", "512"))
+    n_timed_steps = int(os.environ.get("BENCH_STEPS", "5"))
+    step = jax.jit(
+        lambda consts, gpm, states, obs: batched_gpmpc_step(
+            model, ctrl.cfg, consts, gpm, states, obs
+        )
+    )
+
+    traj0 = np.asarray(env.trajectory[0])
+    obs = jnp.asarray(
+        traj0[None, :] + 0.05 * rng.normal(size=(B, 12)), jnp.float32
+    )
+    states = jax.vmap(lambda _: mpc_mod.init_state(25, 12, 4))(jnp.arange(B))
+
+    # Warm-up: compile + one step (also advances to the tightening-active path).
+    u, states, _ = step(ctrl.consts, gp, states, obs)
+    u.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(n_timed_steps):
+        u, states, _ = step(ctrl.consts, gp, states, obs)
+    u.block_until_ready()
+    dt_total = time.perf_counter() - t0
+
+    solves_per_sec = B * n_timed_steps / dt_total
+    print(
+        json.dumps(
+            {
+                "metric": "gpmpc_solves_per_sec_1chip",
+                "value": round(solves_per_sec, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / NORTH_STAR, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,53 @@ def gp_input_from_xu(x: jax.Array, u: jax.Array) -> jax.Array:
     )
 
 
+def pack_training_data(x7: jax.Array, y3: jax.Array, max_points: int) -> GPData:
+    """(N, 7) inputs / (N, 3) targets -> padded per-GP GPData batch (leaves lead
+    with the GP axis). N may be traced-dynamic via a validity mask upstream; here
+    N is the static array length and all rows are marked active."""
+    n = x7.shape[0]
+    z = slice_gp_inputs(x7)  # (3, N, 3)
+    pad = max_points - n
+    Z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)))
+    Y = jnp.pad(y3.T, ((0, 0), (0, pad)))
+    mask = jnp.pad(jnp.ones((NUM_GPS, n), x7.dtype), ((0, 0), (0, pad)))
+    return GPData(x=Z, y=Y, mask=mask)
+
+
+def train_gp_models(
+    data: GPData,  # leaves batched over the 3 GPs
+    key: jax.Array,
+    sparse: bool,
+    max_inducing: int,
+    n_train: int,
+    lr: float,
+) -> GpModel:
+    """Fit hypers, factorize posteriors, and build the mean-inducing set — fully
+    traceable (works inside one jitted multi-chip training step).
+
+    ≙ train_gp (gpmpc.py:153-164) + the solver-rebuild work that the reference
+    defers to reset()/setup_acados_* (gpmpc.py:94-111,166-273), which here is just
+    constructing the `GpModel` pytree.
+    """
+    hypers, _ = jax.vmap(lambda d: fit_gp(d, n_train=n_train, lr=lr))(data)
+    hypers = GPHypers(*hypers)
+    post = jax.vmap(posterior)(hypers, data)
+
+    if sparse:
+        idx_s, s_mask = select_inducing(key, data.mask[0], max_inducing)
+        Zs, alpha_s = jax.vmap(
+            lambda h, d: fitc_posterior_mean(h, d, idx_s, s_mask)
+        )(hypers, data)
+    else:
+        Zs, alpha_s = data.x, post.alpha
+
+    return GpModel(
+        Z=data.x, y=data.y, mask=data.mask,
+        hypers=hypers, chol=post.chol, alpha_full=post.alpha,
+        Zs=Zs, alpha_s=alpha_s, trained=jnp.asarray(True),
+    )
+
+
 def gp_residual(gp: GpModel, x: jax.Array, u: jax.Array) -> jax.Array:
     """Residual dynamics term (12,). ≙ res_dyn, gpmpc.py:193-197."""
     z = slice_gp_inputs(gp_input_from_xu(x, u))  # (3, 3)
@@ -246,6 +293,46 @@ def propagate_constraint_limits(
     t_x_term = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_T), 0.0))
     t_x = jnp.concatenate([t_x_path, t_x_term[None]], axis=0)
     return t_x, t_u
+
+
+def preprocess_data_jnp(
+    model: SymbolicModel,
+    acc_a: float,
+    acc_b: float,
+    x: jax.Array,  # (N, nx)
+    u: jax.Array,  # (N, nu)
+    x_next: jax.Array,  # (N, nx)
+) -> tuple[jax.Array, jax.Array]:
+    """Pure-jnp transition preprocessing (usable inside jitted training steps).
+
+    ≙ preprocess_data, gpmpc.py:113-151: targets are finite-difference state
+    derivatives minus the prior model's prediction — the thrust-magnitude residual
+    for the acceleration GP (rows 1/3/5 via |v_dot + g e_z|) and the phi/theta rate
+    residual rows. dt = model dt (the reference hardcodes 1/60; documented quirk).
+    """
+    dt = model.dt
+    thrust_cmd = u[:, 0]
+    x_dot = (x_next - x) / dt
+
+    acc = jnp.sqrt(x_dot[:, 1] ** 2 + x_dot[:, 3] ** 2 + (x_dot[:, 5] + GRAVITY) ** 2)
+    acc_target = acc - (acc_a * thrust_cmd + acc_b)
+    f_prior = jax.vmap(model.fc_func)(x, u)
+
+    idx_phi, idx_d_phi, idx_phi_cmd = 6, 9, 1
+    phi_target = x_dot[:, idx_phi] - f_prior[:, idx_phi]
+    idx_theta, idx_d_theta, idx_theta_cmd = 7, 10, 2
+    theta_target = x_dot[:, idx_theta] - f_prior[:, idx_theta]
+
+    train_input = jnp.stack(
+        [
+            thrust_cmd,
+            x[:, idx_phi], x[:, idx_d_phi], u[:, idx_phi_cmd],
+            x[:, idx_theta], x[:, idx_d_theta], u[:, idx_theta_cmd],
+        ],
+        axis=1,
+    )
+    train_output = jnp.stack((acc_target, phi_target, theta_target), axis=1)
+    return train_input, train_output
 
 
 def select_action(
@@ -375,14 +462,14 @@ class GPMPC:
             dt=jnp.asarray(self.dt, jnp.float32),
         )
         self.cfg = SqpConfig(sqp_iters=sqp_iters, qp_iters=qp_iters)
-        self.gp_model = empty_gp_model(self.max_gp_points, self.max_gp_samples)
+        self.gp_model = empty_gp_model(
+            self.max_gp_points,
+            self.max_gp_samples if sparse_gp else self.max_gp_points,
+        )
         self.state = mpc_mod.init_state(horizon, nx, symbolic_model.nu)
         self._requires_recompile = False  # API compat: re-jit never needed here.
         self._step = jax.jit(partial(select_action, self.model, self.cfg))
-        self._fit = jax.jit(
-            jax.vmap(lambda d: fit_gp(d, n_train=self._n_train, lr=self._lr)),
-            static_argnames=(),
-        )
+        self._train_fns: dict = {}  # (iterations, lr) -> jitted training program
 
     # -- training-data path ---------------------------------------------------
 
@@ -392,34 +479,12 @@ class GPMPC:
         ≙ preprocess_data, gpmpc.py:113-151, with dt = the model/env step (the
         reference hardcodes 1/60 here; documented quirk).
         """
-        x = np.asarray(x, np.float64)
-        u = np.asarray(u, np.float64)
-        x_next = np.asarray(x_next, np.float64)
-        dt = self.dt
-        thrust_cmd = u[:, 0]
-        x_dot = (x_next - x) / dt
-
-        acc = np.sqrt(x_dot[:, 1] ** 2 + x_dot[:, 3] ** 2 + (x_dot[:, 5] + GRAVITY) ** 2)
-        acc_prior = self._acc_a * thrust_cmd + self._acc_b
-        acc_target = acc - acc_prior
-        acc_input = thrust_cmd.reshape(-1, 1)
-
-        f_prior = np.asarray(jax.vmap(self.model.fc_func)(jnp.asarray(x), jnp.asarray(u)))
-
-        idx_phi, idx_d_phi, idx_phi_cmd = 6, 9, 1
-        phi_target = x_dot[:, idx_phi] - f_prior[:, idx_phi]
-        phi_input = np.stack((x[:, idx_phi], x[:, idx_d_phi], u[:, idx_phi_cmd]), axis=1)
-
-        idx_theta, idx_d_theta, idx_theta_cmd = 7, 10, 2
-        theta_target = x_dot[:, idx_theta] - f_prior[:, idx_theta]
-        theta_input = np.stack((x[:, idx_theta], x[:, idx_d_theta], u[:, idx_theta_cmd]), axis=1)
-
-        train_input = np.concatenate([acc_input, phi_input, theta_input], axis=-1)
-        train_output = np.stack((acc_target, phi_target, theta_target), axis=1)
-        return train_input, train_output
-
-    _n_train = 500
-    _lr = 0.001
+        xi, ti = preprocess_data_jnp(
+            self.model, self._acc_a, self._acc_b,
+            jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
+            jnp.asarray(x_next, jnp.float32),
+        )
+        return np.asarray(xi), np.asarray(ti)
 
     def train_gp(self, x, y, lr: float, iterations: int):
         """Fit the 3 GPs to (N, 7) inputs / (N, 3) targets. ≙ gpmpc.py:153-164.
@@ -444,34 +509,19 @@ class GPMPC:
             mask[i, :n] = 1.0
         data = GPData(x=jnp.asarray(Z), y=jnp.asarray(Y), mask=jnp.asarray(mask))
 
-        if (iterations, lr) != (self._n_train, self._lr):
-            self._n_train, self._lr = iterations, lr
-            self._fit = jax.jit(jax.vmap(lambda d: fit_gp(d, n_train=iterations, lr=lr)))
-        hypers, _ = self._fit(data)
-
-        post = jax.vmap(posterior)(jax.vmap(lambda *h: GPHypers(*h))(*hypers), data)
-
-        if self.sparse:
-            # Random inducing subset shared across GPs (gpmpc.py:387-388).
-            self._gp_key, sub = jax.random.split(self._gp_key)
-            idx_s, s_mask = select_inducing(sub, data.mask[0], self.max_gp_samples)
-            Zs, alpha_s = jax.vmap(
-                lambda h0, h1, h2, d: fitc_posterior_mean(GPHypers(h0, h1, h2), d, idx_s, s_mask)
-            )(*hypers, data)
-        else:
-            Zs = data.x
-            alpha_s = post.alpha
-            # capacity mismatch: exact mode uses the full buffer as "inducing" set
-            if Zs.shape[1] != self.gp_model.Zs.shape[1]:
-                self.gp_model = empty_gp_model(M, M)
-
-        self.gp_model = GpModel(
-            Z=data.x, y=data.y, mask=data.mask,
-            hypers=GPHypers(*hypers),
-            chol=post.chol, alpha_full=post.alpha,
-            Zs=Zs, alpha_s=alpha_s,
-            trained=jnp.asarray(True),
-        )
+        self._gp_key, sub = jax.random.split(self._gp_key)
+        cache_key = (int(iterations), float(lr))
+        if cache_key not in self._train_fns:
+            self._train_fns[cache_key] = jax.jit(
+                partial(
+                    train_gp_models,
+                    sparse=self.sparse,
+                    max_inducing=self.max_gp_samples if self.sparse else M,
+                    n_train=int(iterations),
+                    lr=float(lr),
+                )
+            )
+        self.gp_model = self._train_fns[cache_key](data, sub)
         self._requires_recompile = False
 
     # -- control path ---------------------------------------------------------

@@ -110,11 +110,20 @@ class _AdamState(NamedTuple):
 
 def _adam_update(g, st: _AdamState, lr, b1=0.9, b2=0.999, eps=1e-8):
     t = st.t + 1
+    # Dtype-pinned bias corrections: `b1 ** t` with a traced integer promotes to
+    # the x64-default float when float64 is enabled, which would poison the scan
+    # carry dtype; compute in the parameter dtype explicitly.
     m = jax.tree.map(lambda m_, g_: b1 * m_ + (1 - b1) * g_, st.m, g)
     v = jax.tree.map(lambda v_, g_: b2 * v_ + (1 - b2) * g_ * g_, st.v, g)
-    mhat = jax.tree.map(lambda m_: m_ / (1 - b1**t), m)
-    vhat = jax.tree.map(lambda v_: v_ / (1 - b2**t), v)
-    step = jax.tree.map(lambda m_, v_: lr * m_ / (jnp.sqrt(v_) + eps), mhat, vhat)
+
+    def _step_leaf(m_, v_):
+        dt = m_.dtype
+        tf = t.astype(dt)
+        c1 = 1 - jnp.asarray(b1, dt) ** tf
+        c2 = 1 - jnp.asarray(b2, dt) ** tf
+        return jnp.asarray(lr, dt) * (m_ / c1) / (jnp.sqrt(v_ / c2) + eps)
+
+    step = jax.tree.map(_step_leaf, m, v)
     return step, _AdamState(m=m, v=v, t=t)
 
 

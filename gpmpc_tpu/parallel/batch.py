@@ -1,0 +1,108 @@
+"""Scenario-batched GP-MPC: vmapped controller steps and fused on-device episodes.
+
+This is where the TPU throughput story lives (BASELINE.md north star: >=1e4
+GP-MPC solves/s): a single controller solve works on 12x12/12x4 blocks that cannot
+fill the MXU, so we batch thousands of scenarios with `vmap` — every small GEMM in
+the Riccati/IP stack becomes a large batched GEMM — and shard the scenario axis
+over the device mesh with `jit(in_shardings=...)`, letting XLA insert ICI
+collectives where needed. The reference has no counterpart (it solves one OCP per
+step through a ctypes boundary, SURVEY.md §2.3).
+
+`batched_episode` additionally fuses the env into the controller scan, so a whole
+closed-loop episode (controller solve -> plant integration -> next obs) for B
+scenarios runs as ONE XLA program with zero host round-trips — versus the
+reference's per-step Python->C (acados) and JAX->numpy (JaxToNumpy) crossings.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.control import gpmpc as gpmpc_mod
+from gpmpc_tpu.control import mpc as mpc_mod
+from gpmpc_tpu.control.gpmpc import GpModel, GpMpcConsts
+from gpmpc_tpu.control.mpc import MpcState
+from gpmpc_tpu.envs import drone
+from gpmpc_tpu.models.symbolic import SymbolicModel
+from gpmpc_tpu.ops.sqp import SqpConfig
+
+
+def batched_gpmpc_step(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    states: MpcState,  # leaves with leading batch axis B
+    obs: jax.Array,  # (B, nx)
+):
+    """One GP-MPC solve for B scenarios. consts/gp are broadcast (replicated)."""
+    step = partial(gpmpc_mod.select_action, model, cfg)
+    return jax.vmap(step, in_axes=(None, None, 0, 0))(consts, gp, states, obs)
+
+
+def make_batched_controller_step(model, cfg, mesh=None):
+    """jit-compiled batched step; if `mesh` is given, the batch axis is sharded."""
+    fn = partial(batched_gpmpc_step, model, cfg)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batched = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(repl, repl, batched, batched),
+        out_shardings=(batched, batched, batched),
+    )
+
+
+class EpisodeResult(NamedTuple):
+    obs: jax.Array  # (B, n_steps+1, nx)
+    actions: jax.Array  # (B, n_steps, nu)
+    rewards: jax.Array  # (B, n_steps)
+
+
+def batched_episode(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    env_params: drone.EnvParams,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    keys: jax.Array,  # (B,) PRNG keys
+    n_steps: int,
+    use_gp: bool = True,
+) -> EpisodeResult:
+    """Full closed-loop episodes for B scenarios as one scanned XLA program."""
+
+    def single_episode(key):
+        env_state, obs0 = drone.env_reset(env_params, key)
+        ctrl_state = mpc_mod.init_state(cfg_horizon(consts), model.nx, model.nu)
+
+        def step(carry, _):
+            env_state, ctrl_state, obs = carry
+            if use_gp:
+                u, ctrl_state, _ = gpmpc_mod.select_action(
+                    model, cfg, consts, gp, ctrl_state, obs
+                )
+            else:
+                u, ctrl_state, _ = mpc_mod.select_action(
+                    model, cfg, consts.mpc, ctrl_state, obs
+                )
+            env_state, obs_next, reward, _, _ = drone.env_step(env_params, env_state, u)
+            return (env_state, ctrl_state, obs_next), (obs_next, u, reward)
+
+        (_, _, _), (obs_path, actions, rewards) = jax.lax.scan(
+            step, (env_state, ctrl_state, obs0), None, length=n_steps
+        )
+        obs_full = jnp.concatenate([obs0[None], obs_path], axis=0)
+        return EpisodeResult(obs=obs_full, actions=actions, rewards=rewards)
+
+    return jax.vmap(single_episode)(keys)
+
+
+def cfg_horizon(consts: GpMpcConsts) -> int:
+    return consts.mpc.uref.shape[0]

@@ -1,0 +1,195 @@
+"""GP-MPC experiment driver.
+
+≙ /root/reference/scripts/run_gp_mpc.py:22-215: the epoch loop
+(prior rollout -> sample -> preprocess -> accumulate -> train GP -> test -> collect)
+with per-step inference timing, epoch timing table, plot bundle, and a final
+evaluation on a fresh seed. Differences are TPU-architectural: the env is the
+in-repo jitted simulator (no JaxToNumpy bridge, no quat flattening needed — the env
+observes the canonical 12-state directly), and retraining the GP never recompiles
+the controller (padded GP buffers; see control/gpmpc.py).
+
+Usage:
+  python scripts/run_gp_mpc.py [--platform cpu|axon] [--fast] [--config PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None, help="jax platform override (cpu for local)")
+    p.add_argument("--fast", action="store_true", help="short episodes / few iters (smoke run)")
+    p.add_argument("--config", default=str(Path(__file__).parent / "gp_mpc_config.yaml"))
+    return p.parse_args()
+
+
+def run_evaluation(env, ctrl, seed: int, n_steps: int) -> dict:
+    """One evaluation episode with per-step inference timing.
+
+    ≙ run_evaluation, run_gp_mpc.py:42-72.
+    """
+    import numpy as np
+
+    episode_data = defaultdict(list)
+    ctrl.reset()
+    obs, _ = env.reset(seed=seed)
+    episode_data["obs"].append(np.asarray(obs))
+    inference_time_data = []
+
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        action = ctrl.select_action(obs)
+        inference_time_data.append(time.perf_counter() - t0)
+        obs, reward, terminated, truncated, _ = env.step(action)
+        step_data = {
+            "obs": np.asarray(obs), "action": np.asarray(action),
+            "done": terminated or truncated, "reward": float(reward), "length": 1,
+        }
+        for key, val in step_data.items():
+            episode_data[key].append(val)
+        if terminated or truncated:
+            break
+    out = {k: np.array(v) for k, v in episode_data.items()}
+    out["inference_time_data"] = inference_time_data
+    return out
+
+
+def sample_data(data, n_samples: int, rng):
+    """Uniform-without-replacement transition sampling. ≙ run_gp_mpc.py:75-83."""
+    import numpy as np
+
+    n = data["action"].shape[0]
+    idx = rng.choice(n - 1, n_samples, replace=False) if n_samples < n else np.arange(n - 1)
+    obs = np.asarray(data["obs"])
+    actions = np.asarray(data["action"])
+    return obs[idx], actions[idx], obs[idx + 1]
+
+
+def learn(n_epochs, ctrl, env, lr, gp_iterations, seed, samples_per_epoch, n_steps):
+    """Multi-epoch learning loop. ≙ learn, run_gp_mpc.py:86-137."""
+    import numpy as np
+
+    train_runs, test_runs = {}, {}
+    rng = np.random.default_rng(seed)
+    eval_seed = int(rng.integers(np.iinfo(np.int32).max))
+    # Reproducibility-invariance across epoch counts (≙ run_gp_mpc.py:98-105):
+    # draw a fixed-size seed table and consume the first n_epochs + 1 entries.
+    assert n_epochs < int(1e6)
+    epoch_seeds = rng.choice(np.iinfo(np.int32).max, size=int(1e6), replace=False)[: n_epochs + 1]
+
+    train_runs[0] = run_evaluation(env, ctrl.prior_ctrl, int(epoch_seeds[0]), n_steps)
+    test_runs[0] = run_evaluation(env, ctrl.prior_ctrl, eval_seed, n_steps)
+    x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
+
+    for epoch in range(1, n_epochs + 1):
+        state, actions, next_state = sample_data(train_runs[epoch - 1], samples_per_epoch, rng)
+        inputs, targets = ctrl.preprocess_data(state, actions, next_state)
+        x_train = np.vstack((x_train, inputs))
+        y_train = np.vstack((y_train, targets))
+        t3 = time.perf_counter()
+        ctrl.train_gp(x=x_train, y=y_train, lr=lr, iterations=gp_iterations)
+        t4 = time.perf_counter()
+        test_runs[epoch] = run_evaluation(env, ctrl, eval_seed, n_steps)
+        t5 = time.perf_counter()
+        train_runs[epoch] = run_evaluation(env, ctrl, int(epoch_seeds[epoch]), n_steps)
+        t6 = time.perf_counter()
+        print("\nExecution Times (seconds):")
+        print(f"{'Operation':<25} {'Time (s)':<10}")
+        print("-" * 35)
+        print(f"{'Train GP':<25} {t4 - t3:>10.2f}")
+        print(f"{'Test GPMPC Performance':<25} {t5 - t4:>10.2f}")
+        print(f"{'Collect GP Data':<25} {t6 - t5:>10.2f}")
+    return train_runs, test_runs
+
+
+def run():
+    """Experiment main. ≙ run, run_gp_mpc.py:140-189."""
+    args = parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from gpmpc_tpu.config import load_config
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.utils.plotting import make_quad_plots, plot_quad_eval
+
+    config = load_config(args.config)
+    g = config.gpmpc
+
+    prior_model = symbolic_attitude(dt=0.02, params=g.prior_params)
+    env = DroneFigureEightEnv()
+    traj = env.trajectory
+    n_steps = env.p.n_steps if not args.fast else 80
+    gp_iterations = config.train.iterations if not args.fast else 100
+    lr = config.train.lr if not args.fast else 0.05
+
+    ctrl = GPMPC(
+        prior_model,
+        traj=traj,
+        prior_params=g.prior_params,
+        horizon=g.horizon,
+        q_mpc=g.q_mpc,
+        r_mpc=g.r_mpc,
+        sparse_gp=g.sparse_gp,
+        prob=g.prob,
+        max_gp_samples=g.max_gp_samples,
+        seed=config.seed,
+        device=g.device,
+        output_dir=Path(config.save_dir),
+        max_gp_points=g.max_gp_points,
+        sqp_iters=g.sqp_iters,
+        qp_iters=g.qp_iters,
+    )
+
+    train_runs, test_runs = learn(
+        n_epochs=config.run.num_epochs,
+        ctrl=ctrl,
+        env=env,
+        lr=lr,
+        gp_iterations=gp_iterations,
+        seed=config.seed,
+        samples_per_epoch=config.train.samples_per_epoch,
+        n_steps=n_steps,
+    )
+
+    make_quad_plots(
+        test_runs=test_runs,
+        train_runs=train_runs,
+        trajectory=np.asarray(ctrl.traj),
+        save_dir=Path(config.save_dir),
+    )
+    trajs_data = run_evaluation(env, ctrl, seed=config.seed + 1, n_steps=n_steps)
+    env.close()
+    plot_quad_eval(trajs_data, np.asarray(traj).T, prior_model.dt, Path(config.save_dir))
+
+    # Summary line for quick health checks.
+    for epoch, run_data in test_runs.items():
+        obs = run_data["obs"]
+        ref = np.asarray(traj)[: obs.shape[0]]
+        err = np.sqrt(
+            (obs[:, 0] - ref[:, 0]) ** 2 + (obs[:, 2] - ref[:, 2]) ** 2 + (obs[:, 4] - ref[:, 4]) ** 2
+        )
+        print(f"epoch {epoch}: mean position error {err.mean():.4f} m")
+    print(f"results in {config.save_dir}")
+
+
+if __name__ == "__main__":
+    tstart = time.perf_counter()
+    run()
+    print(f"Experiment took {time.perf_counter() - tstart:.2f} seconds")

@@ -1,0 +1,133 @@
+"""Controller tests: nominal MPC tracking, GP-MPC learning loop, tightening."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpmpc_tpu.control import gpmpc as gpmpc_mod
+from gpmpc_tpu.control import mpc as mpc_mod
+from gpmpc_tpu.control.gpmpc import GPMPC, propagate_constraint_limits
+from gpmpc_tpu.control.mpc import MPC
+from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams
+from gpmpc_tpu.models.quadrotor import TRUE_PARAMS, input_bounds
+from gpmpc_tpu.models.symbolic import symbolic_attitude
+
+PRIOR = {
+    "a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
+    "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653,
+}
+Q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+R = [3, 3, 3, 0.1]
+
+
+@pytest.fixture(scope="module")
+def env():
+    # Default 300-step (6 s) period: shorter periods demand accelerations beyond
+    # the plant's authority. Tests only run the first few dozen steps.
+    return DroneFigureEightEnv()
+
+
+def rollout(env, ctrl, n=30, seed=0):
+    obs, _ = env.reset(seed=seed)
+    ctrl.reset()
+    errs = []
+    traj = np.asarray(env.trajectory)
+    for i in range(n):
+        u = ctrl.select_action(obs)
+        obs, _, term, _, _ = env.step(u)
+        ref = traj[(i + 1) % traj.shape[0]]
+        errs.append(np.sqrt((obs[0] - ref[0]) ** 2 + (obs[2] - ref[2]) ** 2 + (obs[4] - ref[4]) ** 2))
+        assert not term
+    return np.asarray(errs)
+
+
+def test_true_model_mpc_tracks_tightly(env):
+    model = symbolic_attitude(dt=0.02, params=TRUE_PARAMS)
+    ctrl = MPC(model, env.trajectory, Q, R, horizon=15, sqp_iters=6, qp_iters=8)
+    errs = rollout(env, ctrl, n=30)
+    assert errs[-10:].mean() < 0.05, f"tracking error too high: {errs[-10:].mean()}"
+
+
+def test_mpc_respects_input_bounds(env):
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = MPC(model, env.trajectory, Q, R, horizon=10, sqp_iters=6, qp_iters=10)
+    obs, _ = env.reset(seed=1)
+    ctrl.reset()
+    lu, uu = np.asarray(input_bounds()[0]), np.asarray(input_bounds()[1])
+    for _ in range(5):
+        u = ctrl.select_action(obs)
+        assert np.all(u >= lu - 1e-4) and np.all(u <= uu + 1e-4), u
+        obs, _, _, _, _ = env.step(u)
+
+
+def test_gpmpc_improves_over_prior(env):
+    """The core learning-loop contract: GP residual training improves tracking."""
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=15, q_mpc=Q, r_mpc=R,
+        sparse_gp=True, max_gp_samples=20, seed=1, sqp_iters=6, qp_iters=8,
+        max_gp_points=64,
+    )
+    n = 60
+    errs_prior = rollout(env, ctrl.prior_ctrl, n=n)
+
+    obs, _ = env.reset(seed=0)
+    ctrl.prior_ctrl.reset()
+    X, U = [np.asarray(obs)], []
+    for _ in range(n):
+        u = ctrl.prior_ctrl.select_action(obs)
+        obs, _, _, _, _ = env.step(u)
+        X.append(np.asarray(obs))
+        U.append(u)
+    xi, ti = ctrl.preprocess_data(np.asarray(X[:-1]), np.asarray(U), np.asarray(X[1:]))
+    assert xi.shape == (n, 7) and ti.shape == (n, 3)
+    # the acc residual must reflect the engineered hover-thrust deficit (~4 m/s^2)
+    assert 2.0 < ti[:, 0].mean() < 6.0
+
+    ctrl.train_gp(xi, ti, lr=0.05, iterations=150)
+    errs_gp = rollout(env, ctrl, n=n)
+    # steady-state window shows the learned-residual benefit most clearly
+    assert errs_gp[-20:].mean() < 0.6 * errs_prior[-20:].mean(), (
+        errs_gp[-20:].mean(), errs_prior[-20:].mean(),
+    )
+
+
+def test_tightening_zero_until_trained_and_positive_after(env):
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=8, q_mpc=Q, r_mpc=R,
+        sparse_gp=True, max_gp_samples=10, seed=0, max_gp_points=32,
+        sqp_iters=3, qp_iters=6,
+    )
+    state = mpc_mod.init_state(8, 12, 4)
+    # untrained GP model: variance path must still be finite
+    t_x, t_u = propagate_constraint_limits(ctrl.consts, ctrl.gp_model, state.X_warm, state.U_warm)
+    assert np.all(np.isfinite(np.asarray(t_x))) and np.all(np.isfinite(np.asarray(t_u)))
+
+    rng = np.random.default_rng(0)
+    xi = rng.normal(0, 0.3, (20, 7)).astype(np.float32)
+    ti = rng.normal(0, 0.5, (20, 3)).astype(np.float32)
+    ctrl.train_gp(xi, ti, lr=0.05, iterations=50)
+    t_x, t_u = propagate_constraint_limits(ctrl.consts, ctrl.gp_model, state.X_warm, state.U_warm)
+    t_x, t_u = np.asarray(t_x), np.asarray(t_u)
+    assert np.all(t_x >= 0) and np.all(t_u >= 0)
+    # stage 0 state tightening is zero (cov starts at zero); later stages grow
+    np.testing.assert_allclose(t_x[0], 0.0, atol=1e-7)
+    assert t_x[1:].max() > 0
+    # monotone-ish growth of the max tightening along the horizon
+    assert t_x[-1].max() >= t_x[1].max()
+
+
+def test_select_action_deterministic(env):
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=False, seed=0, max_gp_points=16, sqp_iters=3, qp_iters=5,
+    )
+    obs = np.asarray(env.trajectory[0])
+    ctrl.reset()
+    u1 = ctrl.select_action(obs)
+    ctrl.reset()
+    u2 = ctrl.select_action(obs)
+    np.testing.assert_array_equal(u1, u2)
