@@ -87,8 +87,17 @@ def solve_ocp_qp(
     mu0: float = 1e-1,
     sigma: float = 0.2,
     tau: float = 0.995,
+    parallel_scan: bool = False,
 ) -> OcpQpSolution:
-    """Solve the box-constrained OCP-QP. Fixed iteration count (jit/vmap friendly)."""
+    """Solve the box-constrained OCP-QP. Fixed iteration count (jit/vmap friendly).
+
+    parallel_scan=True routes the Newton solves through the O(log T)-depth
+    associative-scan Riccati (ops/riccati_parallel.py) — the long-horizon path.
+    """
+    if parallel_scan:
+        from gpmpc_tpu.ops.riccati_parallel import riccati_solve_parallel as _riccati
+    else:
+        _riccati = riccati_solve
     T = qp.A.shape[0]
     nx = qp.A.shape[1]
     nu = qp.B.shape[2]
@@ -158,7 +167,7 @@ def solve_ocp_qp(
             - st.dx[1:]
         )
 
-        sol = riccati_solve(
+        sol = _riccati(
             LqProblem(A=qp.A, B=qp.B, r=r_dyn, Qxx=Qxx_hat, qx=qx_hat, Ruu=Ruu_hat, ru=ru_hat),
             jnp.zeros((nx,), dtype),
         )

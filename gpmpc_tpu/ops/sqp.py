@@ -31,6 +31,7 @@ class SqpConfig(NamedTuple):
     sqp_iters: int = 25  # ≙ nlp_solver_max_iter (mpc.py:119)
     qp_iters: int = 15
     step_tol: float = 1e-6
+    parallel_scan: bool = False  # O(log T) associative-scan Riccati (long horizons)
 
 
 class OcpCost(NamedTuple):
@@ -112,7 +113,7 @@ def sqp_solve(
             lu=bounds.lu - U,
             uu=bounds.uu - U,
         )
-        sol = solve_ocp_qp(qp, n_iter=cfg.qp_iters)
+        sol = solve_ocp_qp(qp, n_iter=cfg.qp_iters, parallel_scan=cfg.parallel_scan)
 
         new_step = jnp.maximum(jnp.max(jnp.abs(sol.dx)), jnp.max(jnp.abs(sol.du)))
         # Full Newton-type step (acados FIXED_STEP globalization); frozen once the

@@ -1,0 +1,136 @@
+"""Checkpoint / resume.
+
+The reference persists nothing but plots and acados artifacts — a crashed run loses
+everything (SURVEY.md §5). Here the full experiment state checkpoints to a single
+npz + JSON sidecar: GP training buffers and hyperparameters, the controller's
+RNG/inducing keys, the accumulated dataset, epoch counters, and numpy RNG state —
+everything needed to resume `learn()` mid-experiment bit-exactly.
+
+Format: flattened pytree leaves keyed by path in one .npz; structure + metadata in
+a JSON sidecar. No framework dependency (orbax-compatible layouts can be layered
+on later); loads are host-side and cheap at these sizes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_pytree(path: Path, tree, metadata: dict[str, Any] | None = None):
+    """Save a pytree of arrays to `<path>.npz` (+ `<path>.json` metadata)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = _flatten_with_paths(tree)
+    np.savez(str(path) + ".npz", **arrays)
+    treedef = jax.tree_util.tree_structure(tree)
+    meta = {"treedef": str(treedef), "metadata": metadata or {}}
+    with open(str(path) + ".json", "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_pytree(path: Path, like):
+    """Load arrays saved by `save_pytree` into the structure of `like`."""
+    path = Path(path)
+    with np.load(str(path) + ".npz") as data:
+        arrays = {k: data[k] for k in data.files}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for p, leaf in flat:
+        key = "/".join(str(q) for q in p)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        arr = arrays[key]
+        if hasattr(leaf, "dtype"):
+            leaves.append(jnp.asarray(arr, leaf.dtype))
+        else:
+            leaves.append(arr)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), leaves
+    )
+
+
+def load_metadata(path: Path) -> dict[str, Any]:
+    with open(str(Path(path)) + ".json") as f:
+        return json.load(f)["metadata"]
+
+
+class ExperimentCheckpoint:
+    """Save/restore the GPMPC learning loop state."""
+
+    def __init__(self, directory: Path):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def save(self, epoch: int, ctrl, x_train: np.ndarray, y_train: np.ndarray,
+             rng_state: dict | None = None):
+        tree = {
+            "gp_model": ctrl.gp_model,
+            "gp_key": ctrl._gp_key,
+            "x_train": jnp.asarray(x_train),
+            "y_train": jnp.asarray(y_train),
+        }
+        save_pytree(
+            self.dir / f"ckpt_epoch_{epoch}",
+            tree,
+            metadata={
+                "epoch": epoch,
+                "sparse": ctrl.sparse,
+                "rng_state": _encode_rng(rng_state),
+            },
+        )
+
+    def latest_epoch(self) -> int | None:
+        epochs = [
+            int(p.stem.split("_")[-1])
+            for p in self.dir.glob("ckpt_epoch_*.npz")
+        ]
+        return max(epochs) if epochs else None
+
+    def restore(self, epoch: int, ctrl):
+        like = {
+            "gp_model": ctrl.gp_model,
+            "gp_key": ctrl._gp_key,
+            "x_train": None,
+            "y_train": None,
+        }
+        # x/y buffers have run-dependent shapes: load raw first.
+        path = self.dir / f"ckpt_epoch_{epoch}"
+        with np.load(str(path) + ".npz") as data:
+            x_train = data["['x_train']"]
+            y_train = data["['y_train']"]
+        like["x_train"] = jnp.asarray(x_train)
+        like["y_train"] = jnp.asarray(y_train)
+        tree = load_pytree(path, like)
+        ctrl.gp_model = tree["gp_model"]
+        ctrl._gp_key = tree["gp_key"]
+        meta = load_metadata(path)
+        return (
+            np.asarray(tree["x_train"]),
+            np.asarray(tree["y_train"]),
+            _decode_rng(meta.get("rng_state")),
+        )
+
+
+def _encode_rng(state):
+    if state is None:
+        return None
+    return json.loads(json.dumps(state, default=lambda o: o.tolist() if isinstance(o, np.ndarray) else o))
+
+
+def _decode_rng(state):
+    return state

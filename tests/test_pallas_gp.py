@@ -1,0 +1,66 @@
+"""Pallas GP posterior kernel parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.ops.pallas_gp import gp_mean_var, gp_mean_var_reference
+
+
+def make_problem(n=70, m=128, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    n_active = 50
+    Z = np.zeros((m, d), np.float32)
+    Z[:n_active] = rng.normal(size=(n_active, d))
+    mask = np.zeros(m, np.float32)
+    mask[:n_active] = 1.0
+    y = rng.normal(size=m).astype(np.float32) * mask
+    ell, sf2, noise = 0.9, 1.3, 0.05
+    diff = (Z[:, None, :] - Z[None, :, :]) / ell
+    K = sf2 * np.exp(-0.5 * (diff**2).sum(-1)) * np.outer(mask, mask)
+    K += np.diag(noise * mask + (1 - mask))
+    K_inv = np.linalg.inv(K)
+    alpha = K_inv @ y
+    z = rng.normal(size=(n, d)).astype(np.float32)
+    return (
+        jnp.asarray(z), jnp.asarray(Z), jnp.asarray(alpha), jnp.asarray(K_inv, jnp.float32),
+        jnp.asarray(ell, jnp.float32), jnp.asarray(sf2, jnp.float32),
+        jnp.asarray(noise, jnp.float32), jnp.asarray(mask),
+    )
+
+
+def test_pallas_kernel_matches_reference_interpret():
+    args = make_problem()
+    mean_k, var_k = gp_mean_var(*args, include_noise=True, interpret=True)
+    mean_r, var_r = gp_mean_var_reference(*args, include_noise=True)
+    np.testing.assert_allclose(np.asarray(mean_k), np.asarray(mean_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_k), np.asarray(var_r), atol=1e-4)
+
+
+def test_pallas_kernel_nonmultiple_tile():
+    args = make_problem(n=130)  # forces padding to 256
+    mean_k, var_k = gp_mean_var(*args, interpret=True)
+    mean_r, var_r = gp_mean_var_reference(*args)
+    assert mean_k.shape == (130,)
+    np.testing.assert_allclose(np.asarray(mean_k), np.asarray(mean_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_k), np.asarray(var_r), atol=1e-4)
+
+
+def test_reference_matches_exact_gp_module():
+    """The K_inv-based variance equals the Cholesky-based exact_gp variance."""
+    from gpmpc_tpu.gp.exact_gp import GPData, GPHypers, posterior, predict_var
+
+    z, Z, alpha, K_inv, ell, sf2, noise, mask = make_problem()
+    # invert the softplus transforms to build equivalent raw hypers
+    inv_softplus = lambda v: float(np.log(np.expm1(v)))
+    h = GPHypers(
+        raw_lengthscale=jnp.asarray(inv_softplus(0.9), jnp.float64),
+        raw_outputscale=jnp.asarray(inv_softplus(1.3), jnp.float64),
+        raw_noise=jnp.asarray(inv_softplus(0.05 - 1e-6), jnp.float64),
+    )
+    data = GPData(x=Z.astype(jnp.float64), y=jnp.zeros(Z.shape[0], jnp.float64), mask=mask.astype(jnp.float64))
+    post = posterior(h, data)
+    var_chol = predict_var(h, data, post, z.astype(jnp.float64), include_noise=False)
+    _, var_kinv = gp_mean_var_reference(*(a.astype(jnp.float64) for a in (z, Z, alpha, K_inv)), ell, sf2, noise, mask.astype(jnp.float64))
+    # exact_gp adds a 1e-6*sf2 jitter the numpy K here doesn't have -> small atol
+    np.testing.assert_allclose(np.asarray(var_kinv), np.asarray(var_chol), atol=1e-4)
