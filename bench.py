@@ -73,9 +73,10 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "512"))
     n_timed_steps = int(os.environ.get("BENCH_STEPS", "5"))
+    backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
     step = jax.jit(
         lambda consts, gpm, states, obs: batched_gpmpc_step(
-            model, ctrl.cfg, consts, gpm, states, obs
+            model, ctrl.cfg, consts, gpm, states, obs, backend=backend
         )
     )
 

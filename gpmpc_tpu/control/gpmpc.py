@@ -335,15 +335,15 @@ def preprocess_data_jnp(
     return train_input, train_output
 
 
-def select_action(
+def prepare_step(
     model: SymbolicModel,
-    cfg: SqpConfig,
     consts: GpMpcConsts,
     gp: GpModel,
     state: MpcState,
     obs: jax.Array,
-) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
-    """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368."""
+) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array]:
+    """Per-scenario step preparation: tightened bounds, reference window, warm
+    start. (xref, bounds, X_init, U_init). Vmappable."""
     T = consts.mpc.uref.shape[0]
     c = consts.mpc
 
@@ -363,12 +363,25 @@ def select_action(
     t_u = jnp.minimum(t_u, 0.45 * (uu - lu))
     bounds = OcpBounds(lx=lx + t_x, ux=ux - t_x, lu=lu + t_u, uu=uu - t_u)
 
-    fd = partial(augmented_fd, model, gp)
     xref = mpc_mod.reference_window(c.traj, state.traj_step, T)
     first = state.traj_step == 0
     X_init = jnp.where(first, jnp.tile(obs[None], (T + 1, 1)), state.X_warm)
     U_init = jnp.where(first, c.uref, state.U_warm)
+    return xref, bounds, X_init, U_init
 
+
+def select_action(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    state: MpcState,
+    obs: jax.Array,
+) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
+    """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368."""
+    c = consts.mpc
+    xref, bounds, X_init, U_init = prepare_step(model, consts, gp, state, obs)
+    fd = partial(augmented_fd, model, gp)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     sol = sqp_solve(fd, cost, bounds, obs, X_init, U_init, cfg)
 
@@ -377,6 +390,40 @@ def select_action(
         X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
     )
     return sol.U[0], new_state, info
+
+
+def batched_select_action_lanes(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    states: MpcState,  # leaves batched over B
+    obs: jax.Array,  # (B, nx)
+    interpret: bool = False,
+) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
+    """Batch GP-MPC step with the lane-packed Pallas QP backend (pallas_ocp.py).
+
+    Same semantics as vmap(select_action); the QP solves go through one Pallas
+    kernel per 128-scenario lane tile instead of XLA's batched small matmuls.
+    """
+    from gpmpc_tpu.ops.sqp_lanes import sqp_solve_batch_lanes
+
+    c = consts.mpc
+    xref, bounds, X_init, U_init = jax.vmap(
+        lambda s, o: prepare_step(model, consts, gp, s, o)
+    )(states, obs)
+    fd = partial(augmented_fd, model, gp)
+    cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
+    sol = sqp_solve_batch_lanes(
+        fd, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret
+    )
+    new_states = MpcState(
+        traj_step=states.traj_step + 1, X_warm=sol.X, U_warm=sol.U
+    )
+    info = mpc_mod.MpcInfo(
+        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
+    )
+    return sol.U[:, 0], new_states, info
 
 
 class GPMPC:

@@ -1,0 +1,334 @@
+"""Batch-on-lanes Pallas kernel for the box-constrained OCP-QP interior point.
+
+Why this kernel exists: the OCP's per-stage blocks are 12x12 / 12x4 — far below
+the 128x128 MXU tile — and XLA lowers `vmap`-batched small matmuls at <0.1%
+utilization (measured: ~1.1k GP-MPC solves/s on a v5e regardless of batch size).
+This kernel transposes the scenario batch onto the 128-wide *lane* axis, so every
+matrix entry is a (sublane) row of 128 scenarios and every multiply-add in the
+Riccati recursion and IP algebra is a full-width VPU op. The whole QP solve —
+`n_ip` interior-point iterations, each a backward Riccati sweep + forward rollout
++ slack/dual updates + fraction-to-boundary steps — runs in ONE kernel launch with
+all state resident in VMEM, replacing ~10^4 tiny XLA ops per solve.
+
+This is the TPU-native answer to HPIPM+BLASFEO's panel-major small-matrix BLAS
+(SURVEY.md §2.2): instead of panel-packing matrices for CPU SIMD, we lane-pack
+scenarios for the VPU.
+
+Layout convention: every tensor carries the lane axis LAST, e.g. A is
+(T, nx, nx, LANES). `lanes_matmul(X[a,b,L], Y[b,c,L]) -> [a,c,L]` is a
+broadcast-multiply + sublane reduction; the 4x4 Guu systems are solved by an
+unrolled lane-wise Cholesky.
+
+Semantics are identical to `boxqp.solve_ocp_qp` restricted to DIAGONAL stage cost
+Hessians (always true here: Gauss-Newton of LINEAR_LS with diagonal Q/R plus the
+diagonal IP barrier), verified in tests/test_pallas_ocp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128  # scenario tile width (lane dimension)
+BOUND_INF = 1e8
+
+
+def _mm(x, y):
+    """Lane-wise matmul: (a, b, L) @ (b, c, L) -> (a, c, L)."""
+    return jnp.sum(x[:, :, None, :] * y[None, :, :, :], axis=1)
+
+
+def _mv(x, v):
+    """Lane-wise matvec: (a, b, L) @ (b, L) -> (a, L)."""
+    return jnp.sum(x * v[None, :, :], axis=1)
+
+
+def _t(x):
+    """Transpose the two leading (matrix) dims of (a, b, L)."""
+    return jnp.swapaxes(x, 0, 1)
+
+
+def _chol4_solve(G, rhs):
+    """Solve G X = rhs for SPD G: (4, 4, L), rhs: (4, m, L) -> (4, m, L).
+
+    Unrolled lane-wise Cholesky — every scalar of the textbook 4x4 algorithm is a
+    128-lane vector here.
+    """
+    g = [[G[i, j] for j in range(4)] for i in range(4)]
+    l = [[None] * 4 for _ in range(4)]
+    for j in range(4):
+        s = g[j][j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        l[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv = 1.0 / l[j][j]
+        for i in range(j + 1, 4):
+            s = g[i][j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv
+    # forward substitution L y = rhs
+    y = [None] * 4
+    for i in range(4):
+        s = rhs[i]
+        for k in range(i):
+            s = s - l[i][k][None, :] * y[k]
+        y[i] = s / l[i][i][None, :]
+    # back substitution L' x = y
+    x = [None] * 4
+    for i in reversed(range(4)):
+        s = y[i]
+        for k in range(i + 1, 4):
+            s = s - l[k][i][None, :] * x[k]
+        x[i] = s / l[i][i][None, :]
+    return jnp.stack(x, axis=0)
+
+
+class LanesQp(NamedTuple):
+    """QP data in lanes layout. Shapes (T = horizon, L = lane tile):
+    A (T,nx,nx,L)  B (T,nx,nu,L)  r (T,nx,L)
+    qdiag (T+1,nx,L)  qx (T+1,nx,L)  rdiag (T,nu,L)  ru (T,nu,L)
+    lx/ux (T+1,nx,L)  lu/uu (T,nu,L)
+    """
+
+    A: jax.Array
+    B: jax.Array
+    r: jax.Array
+    qdiag: jax.Array
+    qx: jax.Array
+    rdiag: jax.Array
+    ru: jax.Array
+    lx: jax.Array
+    ux: jax.Array
+    lu: jax.Array
+    uu: jax.Array
+
+
+def _ip_kernel_body(
+    n_ip: int, mu0: float, sigma: float, tau: float,
+    # refs: qp data
+    A_ref, B_ref, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
+    lx_ref, ux_ref, lu_ref, uu_ref,
+    # outputs
+    dx_out, du_out,
+    # scratch
+    dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
+    K_s, kff_s, rdyn_s, qhat_s, rhat_s, sigx_s, sigu_s,
+):
+    T = A_ref.shape[0]
+    nx = A_ref.shape[1]
+    nu = B_ref.shape[2]
+    L = A_ref.shape[3]
+    f32 = jnp.float32
+
+    # ---- init: dx = du = 0, slacks clipped to the interior, duals mu0/s ----
+    s_min = 1e-2
+    dx_s[...] = jnp.zeros((T + 1, nx, L), f32)
+    du_s[...] = jnp.zeros((T, nu, L), f32)
+    slx_s[...] = jnp.maximum(-lx_ref[...], s_min)
+    sux_s[...] = jnp.maximum(ux_ref[...], s_min)
+    slu_s[...] = jnp.maximum(-lu_ref[...], s_min)
+    suu_s[...] = jnp.maximum(uu_ref[...], s_min)
+    llx_s[...] = mu0 / slx_s[...]
+    lux_s[...] = mu0 / sux_s[...]
+    llu_s[...] = mu0 / slu_s[...]
+    luu_s[...] = mu0 / suu_s[...]
+    m_total = 2.0 * ((T + 1) * nx + T * nu)
+
+    def ip_iter(it, mu):
+        dx = dx_s[...]
+        du = du_s[...]
+        slx, sux, slu, suu = slx_s[...], sux_s[...], slu_s[...], suu_s[...]
+        llx, lux, llu, luu = llx_s[...], lux_s[...], llu_s[...], luu_s[...]
+
+        # residuals
+        r_slx = dx - lx_ref[...] - slx
+        r_sux = ux_ref[...] - dx - sux
+        r_slu = du - lu_ref[...] - slu
+        r_suu = uu_ref[...] - du - suu
+        r_clx = slx * llx - mu
+        r_cux = sux * lux - mu
+        r_clu = slu * llu - mu
+        r_cuu = suu * luu - mu
+
+        sigx_s[...] = llx / slx + lux / sux
+        sigu_s[...] = llu / slu + luu / suu
+        corr_x = (r_clx + llx * r_slx) / slx - (r_cux + lux * r_sux) / sux
+        corr_u = (r_clu + llu * r_slu) / slu - (r_cuu + luu * r_suu) / suu
+        qhat_s[...] = qdiag_ref[...] * dx + qx_ref[...] - llx + lux + corr_x
+        rhat_s[...] = rdiag_ref[...] * du + ru_ref[...] - llu + luu + corr_u
+
+        # dynamics residual r_dyn_k = A dx_k + B du_k + r - dx_{k+1}
+        for k in range(T):  # static unroll: T is a trace-time constant
+            rdyn_s[k] = (
+                _mv(A_ref[k], dx_s[k]) + _mv(B_ref[k], du_s[k]) + r_ref[k] - dx_s[k + 1]
+            )
+
+        # ---- backward Riccati sweep (diagonal Q-hat + barrier) ----
+        # Mosaic has no scatter: diagonal updates are eye-mask broadcasts.
+        eye_x = jnp.eye(nx, dtype=f32)[:, :, None]  # (nx, nx, 1)
+        eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
+        P = eye_x * (qdiag_ref[T] + sigx_s[T])[None, :, :]
+        p = qhat_s[T]
+        for k in range(T - 1, -1, -1):
+            Ak = A_ref[k]
+            Bk = B_ref[k]
+            Fr_p = _mv(P, rdyn_s[k]) + p
+            AtP = _mm(_t(Ak), P)
+            BtP = _mm(_t(Bk), P)
+            Gxx = _mm(AtP, Ak) + eye_x * (qdiag_ref[k] + sigx_s[k])[None, :, :]
+            Guu = _mm(BtP, Bk) + eye_u * (rdiag_ref[k] + sigu_s[k])[None, :, :]
+            Gxu = _mm(AtP, Bk)
+            gx = qhat_s[k] + _mv(_t(Ak), Fr_p)
+            gu = rhat_s[k] + _mv(_t(Bk), Fr_p)
+
+            rhs = jnp.concatenate([_t(Gxu), gu[:, None, :]], axis=1)  # (nu, nx+1, L)
+            sol = _chol4_solve(Guu, rhs)
+            K = -sol[:, :nx, :]
+            kff = -sol[:, nx, :]
+            K_s[k] = K
+            kff_s[k] = kff
+            P = Gxx + _mm(Gxu, K)
+            P = 0.5 * (P + _t(P))
+            p = gx + _mv(Gxu, kff)
+
+        # ---- forward rollout ----
+        ddx_prev = jnp.zeros((nx, L), f32)
+        dsl_mins = []
+        ddu_all = []
+        ddx_all = [ddx_prev]
+        for k in range(T):
+            ddu = _mv(K_s[k], ddx_prev) + kff_s[k]
+            ddx_next = _mv(A_ref[k], ddx_prev) + _mv(B_ref[k], ddu) + rdyn_s[k]
+            ddu_all.append(ddu)
+            ddx_all.append(ddx_next)
+            ddx_prev = ddx_next
+        ddx = jnp.stack(ddx_all, axis=0)  # (T+1, nx, L)
+        ddu = jnp.stack(ddu_all, axis=0)  # (T, nu, L)
+
+        # ---- slack/dual direction, fraction-to-boundary, update ----
+        ds_lx = ddx + r_slx
+        ds_ux = r_sux - ddx
+        ds_lu = ddu + r_slu
+        ds_uu = r_suu - ddu
+        dl_lx = -(r_clx + llx * ds_lx) / slx
+        dl_ux = -(r_cux + lux * ds_ux) / sux
+        dl_lu = -(r_clu + llu * ds_lu) / slu
+        dl_uu = -(r_cuu + luu * ds_uu) / suu
+
+        def ratio(v, d):
+            return jnp.where(d < 0, -tau * v / jnp.minimum(d, -1e-30), jnp.inf)
+
+        def lane_min(arr):  # (T?, n, L) -> (L,)
+            return jnp.min(arr.reshape(-1, L), axis=0)
+
+        a_p = jnp.minimum(
+            jnp.minimum(lane_min(ratio(slx, ds_lx)), lane_min(ratio(sux, ds_ux))),
+            jnp.minimum(lane_min(ratio(slu, ds_lu)), lane_min(ratio(suu, ds_uu))),
+        )
+        a_p = jnp.minimum(a_p, 1.0)
+        a_d = jnp.minimum(
+            jnp.minimum(lane_min(ratio(llx, dl_lx)), lane_min(ratio(lux, dl_ux))),
+            jnp.minimum(lane_min(ratio(llu, dl_lu)), lane_min(ratio(luu, dl_uu))),
+        )
+        a_d = jnp.minimum(a_d, 1.0)
+
+        dx_s[...] = dx + a_p[None, None, :] * ddx
+        du_s[...] = du + a_p[None, None, :] * ddu
+        slx_s[...] = slx + a_p[None, None, :] * ds_lx
+        sux_s[...] = sux + a_p[None, None, :] * ds_ux
+        slu_s[...] = slu + a_p[None, None, :] * ds_lu
+        suu_s[...] = suu + a_p[None, None, :] * ds_uu
+        llx_s[...] = llx + a_d[None, None, :] * dl_lx
+        lux_s[...] = lux + a_d[None, None, :] * dl_ux
+        llu_s[...] = llu + a_d[None, None, :] * dl_lu
+        luu_s[...] = luu + a_d[None, None, :] * dl_uu
+
+        gap = (
+            jnp.sum((slx_s[...] * llx_s[...]).reshape(-1, L), axis=0)
+            + jnp.sum((sux_s[...] * lux_s[...]).reshape(-1, L), axis=0)
+            + jnp.sum((slu_s[...] * llu_s[...]).reshape(-1, L), axis=0)
+            + jnp.sum((suu_s[...] * luu_s[...]).reshape(-1, L), axis=0)
+        ) / m_total
+        return jnp.maximum(sigma * gap, 1e-12)
+
+    mu = jnp.full((L,), mu0, f32)
+    mu = jax.lax.fori_loop(0, n_ip, ip_iter, mu)
+    dx_out[...] = dx_s[...]
+    du_out[...] = du_s[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_ip", "mu0", "sigma", "tau", "interpret")
+)
+def solve_ocp_qp_lanes(
+    qp: LanesQp,
+    n_ip: int = 15,
+    mu0: float = 1e-1,
+    sigma: float = 0.2,
+    tau: float = 0.995,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L)).
+
+    One grid step per lane tile; all problem data and IP state stay in VMEM for
+    the whole solve.
+    """
+    T, nx, _, L = qp.A.shape
+    nu = qp.B.shape[2]
+    f32 = jnp.float32
+
+    kernel = functools.partial(_ip_kernel_body, n_ip, mu0, sigma, tau)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dx, du = pl.pallas_call(
+        kernel,
+        in_specs=[vm() for _ in range(11)],
+        out_specs=[vm(), vm()],
+        out_shape=[
+            jax.ShapeDtypeStruct((T + 1, nx, L), f32),
+            jax.ShapeDtypeStruct((T, nu, L), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T + 1, nx, L), f32),  # dx
+            pltpu.VMEM((T, nu, L), f32),  # du
+            pltpu.VMEM((T + 1, nx, L), f32),  # s_lx
+            pltpu.VMEM((T + 1, nx, L), f32),  # s_ux
+            pltpu.VMEM((T, nu, L), f32),  # s_lu
+            pltpu.VMEM((T, nu, L), f32),  # s_uu
+            pltpu.VMEM((T + 1, nx, L), f32),  # lam_lx
+            pltpu.VMEM((T + 1, nx, L), f32),  # lam_ux
+            pltpu.VMEM((T, nu, L), f32),  # lam_lu
+            pltpu.VMEM((T, nu, L), f32),  # lam_uu
+            pltpu.VMEM((T, nu, nx, L), f32),  # K
+            pltpu.VMEM((T, nu, L), f32),  # kff
+            pltpu.VMEM((T, nx, L), f32),  # r_dyn
+            pltpu.VMEM((T + 1, nx, L), f32),  # qhat
+            pltpu.VMEM((T, nu, L), f32),  # rhat
+            pltpu.VMEM((T + 1, nx, L), f32),  # sigma_x
+            pltpu.VMEM((T, nu, L), f32),  # sigma_u
+        ],
+        interpret=interpret,
+    )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
+    return dx, du
+
+
+def pack_lanes(batch_arrays, lanes: int = LANES):
+    """Move a leading batch axis to trailing lanes, padding B up to a multiple.
+
+    (B, ...) -> list over tiles of (..., lanes). Returns (tiles, n_tiles, B).
+    """
+    import numpy as np  # noqa: F401
+
+    def to_lanes(a):
+        B = a.shape[0]
+        pad = (-B) % lanes
+        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        a = jnp.moveaxis(a, 0, -1)  # (..., B+pad)
+        return a.reshape(a.shape[:-1] + ((B + pad) // lanes, lanes))
+
+    return jax.tree.map(to_lanes, batch_arrays)

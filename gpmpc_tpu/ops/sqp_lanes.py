@@ -1,0 +1,136 @@
+"""Batched SQP with the lane-packed Pallas QP backend.
+
+Same Gauss-Newton SQP semantics as `sqp.sqp_solve` (full steps, masked
+convergence), but organized batch-first: dynamics linearization runs as one big
+vmapped `jacfwd` over all B*T stage points (elementwise-over-batch XLA code, which
+the TPU vectorizes well), and the QP solves go through `pallas_ocp.
+solve_ocp_qp_lanes`, which lane-packs 128 scenarios per kernel launch (the part
+XLA handles badly — see pallas_ocp.py).
+
+Requires diagonal Q/R stage costs (always true for this framework's LINEAR_LS
+tracking cost + IP barrier).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.ops.boxqp import BOUND_INF
+from gpmpc_tpu.ops.pallas_ocp import LANES, LanesQp, solve_ocp_qp_lanes
+from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, SqpSolution
+
+
+def _to_lane_tiles(x: jax.Array, n_tiles: int) -> jax.Array:
+    """(B_pad, ...) -> (n_tiles, ..., LANES)."""
+    x = jnp.moveaxis(x, 0, -1)  # (..., B_pad)
+    x = x.reshape(x.shape[:-1] + (n_tiles, LANES))
+    return jnp.moveaxis(x, -2, 0)  # (n_tiles, ..., LANES)
+
+
+def _from_lane_tiles(x: jax.Array, B: int) -> jax.Array:
+    """(n_tiles, ..., LANES) -> (B, ...)."""
+    x = jnp.moveaxis(x, 0, -2)  # (..., n_tiles, LANES)
+    x = x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+    return jnp.moveaxis(x, -1, 0)[:B]
+
+
+def sqp_solve_batch_lanes(
+    fd: Callable[[jax.Array, jax.Array], jax.Array],
+    cost: OcpCost,  # leaves batched over B (xref/uref) or shared (Q/R/scale)
+    bounds: OcpBounds,  # leaves batched over B
+    x0: jax.Array,  # (B, nx)
+    X_init: jax.Array,  # (B, T+1, nx)
+    U_init: jax.Array,  # (B, T, nu)
+    cfg: SqpConfig,
+    interpret: bool = False,
+) -> SqpSolution:
+    """Batch SQP solve; returns SqpSolution with leaves batched over B."""
+    B, Tp1, nx = X_init.shape
+    T = Tp1 - 1
+    nu = U_init.shape[2]
+    dtype = X_init.dtype
+    B_pad = B + ((-B) % LANES)
+    n_tiles = B_pad // LANES
+
+    q_diag_stage = jnp.diagonal(cost.Q)  # (nx,)
+    qe_diag = jnp.diagonal(cost.Qe)
+    r_diag = jnp.diagonal(cost.R)
+    scale = cost.scale  # (T+1,)
+    qdiag = jnp.concatenate(
+        [scale[:-1, None] * q_diag_stage[None], (scale[-1] * qe_diag)[None]], axis=0
+    )  # (T+1, nx)
+    rdiag = scale[:-1, None] * r_diag[None]  # (T, nu)
+
+    fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
+    fd_batch = jax.vmap(jax.vmap(fd))
+
+    def pad_b(x):
+        return jnp.pad(x, [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1))
+
+    big = jnp.asarray(BOUND_INF, dtype)
+
+    def body(carry, _):
+        X, U, converged, step_norm, n_iters = carry
+        X = X.at[:, 0, :].set(x0)
+
+        A, Bm = fd_jac(X[:, :-1], U)  # (B, T, nx, nx), (B, T, nx, nu)
+        defect = fd_batch(X[:, :-1], U) - X[:, 1:]
+
+        ex = X - cost.xref
+        eu = U - cost.uref
+        qx = qdiag[None] * ex  # (B, T+1, nx)
+        ru = rdiag[None] * eu
+
+        lx = bounds.lx - X
+        ux = bounds.ux - X
+        lx = lx.at[:, 0, :].set(-big)
+        ux = ux.at[:, 0, :].set(big)
+        lu = bounds.lu - U
+        uu = bounds.uu - U
+
+        tiles = LanesQp(
+            A=_to_lane_tiles(pad_b(A), n_tiles),
+            B=_to_lane_tiles(pad_b(Bm), n_tiles),
+            r=_to_lane_tiles(pad_b(defect), n_tiles),
+            qdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(qdiag[None], (B,) + qdiag.shape)), n_tiles),
+            qx=_to_lane_tiles(pad_b(qx), n_tiles),
+            rdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(rdiag[None], (B,) + rdiag.shape)), n_tiles),
+            ru=_to_lane_tiles(pad_b(ru), n_tiles),
+            lx=_to_lane_tiles(pad_b(lx), n_tiles),
+            ux=_to_lane_tiles(pad_b(ux), n_tiles),
+            lu=_to_lane_tiles(pad_b(lu), n_tiles),
+            uu=_to_lane_tiles(pad_b(uu), n_tiles),
+        )
+        dx_t, du_t = jax.lax.map(
+            lambda t: solve_ocp_qp_lanes(t, n_ip=cfg.qp_iters, interpret=interpret),
+            tiles,
+        )
+        dx = _from_lane_tiles(dx_t, B)  # (B, T+1, nx)
+        du = _from_lane_tiles(du_t, B)
+
+        new_step = jnp.maximum(
+            jnp.max(jnp.abs(dx), axis=(1, 2)), jnp.max(jnp.abs(du), axis=(1, 2))
+        )  # (B,)
+        active = jnp.logical_not(converged)[:, None, None]
+        X_new = jnp.where(active, X + dx, X)
+        U_new = jnp.where(active, U + du, U)
+        step_norm = jnp.where(active[:, 0, 0], new_step, step_norm)
+        n_iters = n_iters + active[:, 0, 0].astype(jnp.int32)
+        converged = jnp.logical_or(converged, new_step < cfg.step_tol)
+        return (X_new, U_new, converged, step_norm, n_iters), None
+
+    init = (
+        X_init,
+        U_init,
+        jnp.zeros((B,), bool),
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.zeros((B,), jnp.int32),
+    )
+    (X, U, _, step_norm, n_iters), _ = jax.lax.scan(body, init, None, length=cfg.sqp_iters)
+    X = X.at[:, 0, :].set(x0)
+    return SqpSolution(
+        X=X, U=U, step_norm=step_norm, qp_gap=jnp.zeros_like(step_norm), n_iters=n_iters
+    )

@@ -38,8 +38,15 @@ def batched_gpmpc_step(
     gp: GpModel,
     states: MpcState,  # leaves with leading batch axis B
     obs: jax.Array,  # (B, nx)
+    backend: str = "xla",
 ):
-    """One GP-MPC solve for B scenarios. consts/gp are broadcast (replicated)."""
+    """One GP-MPC solve for B scenarios. consts/gp are broadcast (replicated).
+
+    backend="lanes" routes QP solves through the lane-packed Pallas kernel
+    (ops/pallas_ocp.py) — the fast path on TPU for B >= 128.
+    """
+    if backend == "lanes":
+        return gpmpc_mod.batched_select_action_lanes(model, cfg, consts, gp, states, obs)
     step = partial(gpmpc_mod.select_action, model, cfg)
     return jax.vmap(step, in_axes=(None, None, 0, 0))(consts, gp, states, obs)
 

@@ -1,0 +1,83 @@
+"""ctypes bindings for the native C++ OCP solver (native/ocp_solver.cpp).
+
+Mirrors the reference's native boundary — acados compiles generated C to a shared
+library and loads it through ctypes (/root/reference/gpmpc/mpc.py:57-58) — except
+our native solver is a hand-written, model-independent IP/Riccati implementation:
+no per-model codegen, compiled once. It serves as an independent double-precision
+oracle for the JAX solvers and as a host/CPU fallback runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libgpmpc_native.so"
+
+
+def build_native_library(force: bool = False) -> Path:
+    """Compile native/ocp_solver.cpp -> libgpmpc_native.so (cached)."""
+    src = _NATIVE_DIR / "ocp_solver.cpp"
+    if _LIB_PATH.exists() and not force:
+        if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+            return _LIB_PATH
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", str(_LIB_PATH), str(src)],
+        check=True,
+        capture_output=True,
+    )
+    return _LIB_PATH
+
+
+class NativeOcpSolver:
+    """Host-side box-constrained OCP-QP solver (double precision internally)."""
+
+    def __init__(self):
+        lib_path = build_native_library()
+        self._lib = ctypes.CDLL(str(lib_path))
+        f32p = ctypes.POINTER(ctypes.c_float)
+        self._lib.gpmpc_native_solve_ocp_qp.restype = ctypes.c_int
+        self._lib.gpmpc_native_solve_ocp_qp.argtypes = (
+            [ctypes.c_int] * 3
+            + [f32p] * 11
+            + [ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float]
+            + [f32p] * 2
+        )
+
+    def solve(
+        self,
+        A: np.ndarray,  # (T, nx, nx)
+        B: np.ndarray,  # (T, nx, nu)
+        r: np.ndarray,  # (T, nx)
+        qdiag: np.ndarray,  # (T+1, nx)
+        qx: np.ndarray,  # (T+1, nx)
+        rdiag: np.ndarray,  # (T, nu)
+        ru: np.ndarray,  # (T, nu)
+        lx: np.ndarray,
+        ux: np.ndarray,
+        lu: np.ndarray,
+        uu: np.ndarray,
+        n_ip: int = 15,
+        mu0: float = 1e-1,
+        sigma: float = 0.2,
+        tau: float = 0.995,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        T, nx, nu = A.shape[0], A.shape[1], B.shape[2]
+        f32c = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+        args = [f32c(a) for a in (A, B, r, qdiag, qx, rdiag, ru, lx, ux, lu, uu)]
+        dx = np.zeros((T + 1, nx), np.float32)
+        du = np.zeros((T, nu), np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        status = self._lib.gpmpc_native_solve_ocp_qp(
+            T, nx, nu,
+            *[a.ctypes.data_as(f32p) for a in args],
+            n_ip, mu0, sigma, tau,
+            dx.ctypes.data_as(f32p), du.ctypes.data_as(f32p),
+        )
+        if status != 0:
+            raise RuntimeError(f"native OCP solver failed with status {status}")
+        return dx, du

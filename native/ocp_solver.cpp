@@ -1,0 +1,286 @@
+// Native host-side OCP-QP solver: box-constrained interior point with Riccati.
+//
+// This is the framework's native-runtime component, playing the role acados/HPIPM
+// play in the reference (/root/reference/gpmpc/mpc.py:58 loads a code-generated C
+// solver through ctypes). Here the native solver is NOT the TPU compute path — the
+// jitted JAX/Pallas solvers are — it serves as:
+//   1. an algorithm-independent oracle for the JAX solvers' unit tests
+//      (same math, independently implemented, double precision),
+//   2. a host/CPU fallback runtime for deployments without an accelerator.
+//
+// Algorithm: infeasible-start primal-dual interior point on
+//     min   sum_k 1/2 dx'Qd dx + qx'dx + 1/2 du'Rd du + ru'du
+//     s.t.  dx_{k+1} = A_k dx_k + B_k du_k + r_k,  dx_0 = 0,
+//           lx <= dx <= ux, lu <= du <= uu   (diagonal cost Hessians)
+// with each Newton step solved by a backward Riccati sweep — the same method as
+// gpmpc_tpu/ops/boxqp.py, in plain sequential C++.
+//
+// Build: g++ -O2 -shared -fPIC -o libgpmpc_native.so ocp_solver.cpp
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+using std::vector;
+
+// Dense helpers on row-major double buffers.
+void matmul(const double* a, const double* b, double* c, int m, int k, int n) {
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) {
+      double s = 0.0;
+      for (int l = 0; l < k; ++l) s += a[i * k + l] * b[l * n + j];
+      c[i * n + j] = s;
+    }
+}
+
+void matvec(const double* a, const double* x, double* y, int m, int n) {
+  for (int i = 0; i < m; ++i) {
+    double s = 0.0;
+    for (int j = 0; j < n; ++j) s += a[i * n + j] * x[j];
+    y[i] = s;
+  }
+}
+
+void transpose(const double* a, double* at, int m, int n) {
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j) at[j * m + i] = a[i * n + j];
+}
+
+// Cholesky solve for SPD n x n (in-place factor copy), rhs n x m.
+bool chol_solve(const double* G, const double* rhs, double* x, int n, int m) {
+  vector<double> L(n * n, 0.0);
+  for (int j = 0; j < n; ++j) {
+    double s = G[j * n + j];
+    for (int k = 0; k < j; ++k) s -= L[j * n + k] * L[j * n + k];
+    if (s <= 0.0) return false;
+    L[j * n + j] = std::sqrt(s);
+    for (int i = j + 1; i < n; ++i) {
+      double t = G[i * n + j];
+      for (int k = 0; k < j; ++k) t -= L[i * n + k] * L[j * n + k];
+      L[i * n + j] = t / L[j * n + j];
+    }
+  }
+  vector<double> y(n);
+  for (int c = 0; c < m; ++c) {
+    for (int i = 0; i < n; ++i) {
+      double s = rhs[i * m + c];
+      for (int k = 0; k < i; ++k) s -= L[i * n + k] * y[k];
+      y[i] = s / L[i * n + i];
+    }
+    for (int i = n - 1; i >= 0; --i) {
+      double s = y[i];
+      for (int k = i + 1; k < n; ++k) s -= L[k * n + i] * x[k * m + c];
+      x[i * m + c] = s / L[i * n + i];
+    }
+  }
+  return true;
+}
+
+struct Work {
+  int T, nx, nu;
+  // IP state
+  vector<double> dx, du;                 // (T+1)*nx, T*nu
+  vector<double> slx, sux, slu, suu;     // slacks
+  vector<double> llx, lux, llu, luu;     // duals
+  // per-iteration scratch
+  vector<double> sigx, sigu, qhat, rhat, rdyn;
+  vector<double> K, kff;                 // T*nu*nx, T*nu
+  vector<double> ddx, ddu;
+};
+
+}  // namespace
+
+extern "C" int gpmpc_native_solve_ocp_qp(
+    int T, int nx, int nu,
+    const float* A_in,      // T*nx*nx
+    const float* B_in,      // T*nx*nu
+    const float* r_in,      // T*nx
+    const float* qdiag_in,  // (T+1)*nx
+    const float* qx_in,     // (T+1)*nx
+    const float* rdiag_in,  // T*nu
+    const float* ru_in,     // T*nu
+    const float* lx_in, const float* ux_in,  // (T+1)*nx
+    const float* lu_in, const float* uu_in,  // T*nu
+    int n_ip, float mu0, float sigma, float tau,
+    float* dx_out,  // (T+1)*nx
+    float* du_out   // T*nu
+) {
+  const int NX = (T + 1) * nx, NU = T * nu;
+  vector<double> A(A_in, A_in + T * nx * nx), B(B_in, B_in + T * nx * nu),
+      r(r_in, r_in + T * nx), qd(qdiag_in, qdiag_in + NX), qx(qx_in, qx_in + NX),
+      rd(rdiag_in, rdiag_in + NU), ru(ru_in, ru_in + NU),
+      lx(lx_in, lx_in + NX), ux(ux_in, ux_in + NX),
+      lu(lu_in, lu_in + NU), uu(uu_in, uu_in + NU);
+
+  Work w;
+  w.T = T; w.nx = nx; w.nu = nu;
+  w.dx.assign(NX, 0.0); w.du.assign(NU, 0.0);
+  w.slx.resize(NX); w.sux.resize(NX); w.slu.resize(NU); w.suu.resize(NU);
+  w.llx.resize(NX); w.lux.resize(NX); w.llu.resize(NU); w.luu.resize(NU);
+  const double s_min = 1e-2;
+  for (int i = 0; i < NX; ++i) {
+    w.slx[i] = std::max(-lx[i], s_min);
+    w.sux[i] = std::max(ux[i], s_min);
+    w.llx[i] = mu0 / w.slx[i];
+    w.lux[i] = mu0 / w.sux[i];
+  }
+  for (int i = 0; i < NU; ++i) {
+    w.slu[i] = std::max(-lu[i], s_min);
+    w.suu[i] = std::max(uu[i], s_min);
+    w.llu[i] = mu0 / w.slu[i];
+    w.luu[i] = mu0 / w.suu[i];
+  }
+  w.sigx.resize(NX); w.sigu.resize(NU); w.qhat.resize(NX); w.rhat.resize(NU);
+  w.rdyn.resize(T * nx); w.K.resize(T * nu * nx); w.kff.resize(T * nu);
+  w.ddx.resize(NX); w.ddu.resize(NU);
+  const double m_total = 2.0 * (NX + NU);
+  double mu = mu0;
+
+  vector<double> P(nx * nx), p(nx), At(nx * nx), Bt(nu * nx);
+  vector<double> AtP(nx * nx), BtP(nu * nx), Gxx(nx * nx), Guu(nu * nu),
+      Gxu(nx * nu), GxuT(nu * nx), gx(nx), gu(nu), Frp(nx), tmp(nx * nx);
+  vector<double> rslx(NX), rsux(NX), rslu(NU), rsuu(NU),
+      rclx(NX), rcux(NX), rclu(NU), rcuu(NU);
+  vector<double> dslx(NX), dsux(NX), dslu(NU), dsuu(NU),
+      dllx(NX), dlux(NX), dllu(NU), dluu(NU);
+
+  for (int it = 0; it < n_ip; ++it) {
+    // residuals + barrier
+    for (int i = 0; i < NX; ++i) {
+      rslx[i] = w.dx[i] - lx[i] - w.slx[i];
+      rsux[i] = ux[i] - w.dx[i] - w.sux[i];
+      rclx[i] = w.slx[i] * w.llx[i] - mu;
+      rcux[i] = w.sux[i] * w.lux[i] - mu;
+      w.sigx[i] = w.llx[i] / w.slx[i] + w.lux[i] / w.sux[i];
+      double corr = (rclx[i] + w.llx[i] * rslx[i]) / w.slx[i]
+                  - (rcux[i] + w.lux[i] * rsux[i]) / w.sux[i];
+      w.qhat[i] = qd[i] * w.dx[i] + qx[i] - w.llx[i] + w.lux[i] + corr;
+    }
+    for (int i = 0; i < NU; ++i) {
+      rslu[i] = w.du[i] - lu[i] - w.slu[i];
+      rsuu[i] = uu[i] - w.du[i] - w.suu[i];
+      rclu[i] = w.slu[i] * w.llu[i] - mu;
+      rcuu[i] = w.suu[i] * w.luu[i] - mu;
+      w.sigu[i] = w.llu[i] / w.slu[i] + w.luu[i] / w.suu[i];
+      double corr = (rclu[i] + w.llu[i] * rslu[i]) / w.slu[i]
+                  - (rcuu[i] + w.luu[i] * rsuu[i]) / w.suu[i];
+      w.rhat[i] = rd[i] * w.du[i] + ru[i] - w.llu[i] + w.luu[i] + corr;
+    }
+    for (int k = 0; k < T; ++k) {
+      matvec(&A[k * nx * nx], &w.dx[k * nx], &w.rdyn[k * nx], nx, nx);
+      vector<double> bu(nx);
+      matvec(&B[k * nx * nu], &w.du[k * nu], bu.data(), nx, nu);
+      for (int i = 0; i < nx; ++i)
+        w.rdyn[k * nx + i] += bu[i] + r[k * nx + i] - w.dx[(k + 1) * nx + i];
+    }
+
+    // backward Riccati
+    std::fill(P.begin(), P.end(), 0.0);
+    for (int i = 0; i < nx; ++i) P[i * nx + i] = qd[T * nx + i] + w.sigx[T * nx + i];
+    for (int i = 0; i < nx; ++i) p[i] = w.qhat[T * nx + i];
+    for (int k = T - 1; k >= 0; --k) {
+      const double* Ak = &A[k * nx * nx];
+      const double* Bk = &B[k * nx * nu];
+      matvec(P.data(), &w.rdyn[k * nx], Frp.data(), nx, nx);
+      for (int i = 0; i < nx; ++i) Frp[i] += p[i];
+      transpose(Ak, At.data(), nx, nx);
+      transpose(Bk, Bt.data(), nx, nu);
+      matmul(At.data(), P.data(), AtP.data(), nx, nx, nx);
+      matmul(Bt.data(), P.data(), BtP.data(), nu, nx, nx);
+      matmul(AtP.data(), Ak, Gxx.data(), nx, nx, nx);
+      for (int i = 0; i < nx; ++i) Gxx[i * nx + i] += qd[k * nx + i] + w.sigx[k * nx + i];
+      matmul(BtP.data(), Bk, Guu.data(), nu, nx, nu);
+      for (int i = 0; i < nu; ++i) Guu[i * nu + i] += rd[k * nu + i] + w.sigu[k * nu + i];
+      matmul(AtP.data(), Bk, Gxu.data(), nx, nx, nu);
+      matvec(At.data(), Frp.data(), gx.data(), nx, nx);
+      for (int i = 0; i < nx; ++i) gx[i] += w.qhat[k * nx + i];
+      matvec(Bt.data(), Frp.data(), gu.data(), nu, nx);
+      for (int i = 0; i < nu; ++i) gu[i] += w.rhat[k * nu + i];
+
+      // rhs = [Gxu' | gu], solve Guu X = rhs
+      transpose(Gxu.data(), GxuT.data(), nx, nu);
+      vector<double> rhs(nu * (nx + 1)), sol(nu * (nx + 1));
+      for (int i = 0; i < nu; ++i) {
+        for (int j = 0; j < nx; ++j) rhs[i * (nx + 1) + j] = GxuT[i * nx + j];
+        rhs[i * (nx + 1) + nx] = gu[i];
+      }
+      if (!chol_solve(Guu.data(), rhs.data(), sol.data(), nu, nx + 1)) return 1;
+      for (int i = 0; i < nu; ++i) {
+        for (int j = 0; j < nx; ++j) w.K[(k * nu + i) * nx + j] = -sol[i * (nx + 1) + j];
+        w.kff[k * nu + i] = -sol[i * (nx + 1) + nx];
+      }
+      // P = Gxx + Gxu K ; p = gx + Gxu kff
+      matmul(Gxu.data(), &w.K[k * nu * nx], tmp.data(), nx, nu, nx);
+      for (int i = 0; i < nx * nx; ++i) P[i] = Gxx[i] + tmp[i];
+      for (int i = 0; i < nx; ++i)
+        for (int j = 0; j < i; ++j) {
+          double s = 0.5 * (P[i * nx + j] + P[j * nx + i]);
+          P[i * nx + j] = P[j * nx + i] = s;
+        }
+      vector<double> gkff(nx);
+      matvec(Gxu.data(), &w.kff[k * nu], gkff.data(), nx, nu);
+      for (int i = 0; i < nx; ++i) p[i] = gx[i] + gkff[i];
+    }
+
+    // forward rollout
+    std::fill(w.ddx.begin(), w.ddx.begin() + nx, 0.0);
+    for (int k = 0; k < T; ++k) {
+      matvec(&w.K[k * nu * nx], &w.ddx[k * nx], &w.ddu[k * nu], nu, nx);
+      for (int i = 0; i < nu; ++i) w.ddu[k * nu + i] += w.kff[k * nu + i];
+      vector<double> ax(nx), bu(nx);
+      matvec(&A[k * nx * nx], &w.ddx[k * nx], ax.data(), nx, nx);
+      matvec(&B[k * nx * nu], &w.ddu[k * nu], bu.data(), nx, nu);
+      for (int i = 0; i < nx; ++i)
+        w.ddx[(k + 1) * nx + i] = ax[i] + bu[i] + w.rdyn[k * nx + i];
+    }
+
+    // slack/dual directions, fraction to boundary
+    double a_p = 1.0, a_d = 1.0;
+    auto ftb = [&](double v, double d) {
+      if (d < 0.0) return -tau * v / d;
+      return 1e300;
+    };
+    for (int i = 0; i < NX; ++i) {
+      dslx[i] = w.ddx[i] + rslx[i];
+      dsux[i] = rsux[i] - w.ddx[i];
+      dllx[i] = -(rclx[i] + w.llx[i] * dslx[i]) / w.slx[i];
+      dlux[i] = -(rcux[i] + w.lux[i] * dsux[i]) / w.sux[i];
+      a_p = std::min({a_p, ftb(w.slx[i], dslx[i]), ftb(w.sux[i], dsux[i])});
+      a_d = std::min({a_d, ftb(w.llx[i], dllx[i]), ftb(w.lux[i], dlux[i])});
+    }
+    for (int i = 0; i < NU; ++i) {
+      dslu[i] = w.ddu[i] + rslu[i];
+      dsuu[i] = rsuu[i] - w.ddu[i];
+      dllu[i] = -(rclu[i] + w.llu[i] * dslu[i]) / w.slu[i];
+      dluu[i] = -(rcuu[i] + w.luu[i] * dsuu[i]) / w.suu[i];
+      a_p = std::min({a_p, ftb(w.slu[i], dslu[i]), ftb(w.suu[i], dsuu[i])});
+      a_d = std::min({a_d, ftb(w.llu[i], dllu[i]), ftb(w.luu[i], dluu[i])});
+    }
+
+    double gap = 0.0;
+    for (int i = 0; i < NX; ++i) {
+      w.dx[i] += a_p * w.ddx[i];
+      w.slx[i] += a_p * dslx[i];
+      w.sux[i] += a_p * dsux[i];
+      w.llx[i] += a_d * dllx[i];
+      w.lux[i] += a_d * dlux[i];
+      gap += w.slx[i] * w.llx[i] + w.sux[i] * w.lux[i];
+    }
+    for (int i = 0; i < NU; ++i) {
+      w.du[i] += a_p * w.ddu[i];
+      w.slu[i] += a_p * dslu[i];
+      w.suu[i] += a_p * dsuu[i];
+      w.llu[i] += a_d * dllu[i];
+      w.luu[i] += a_d * dluu[i];
+      gap += w.slu[i] * w.llu[i] + w.suu[i] * w.luu[i];
+    }
+    mu = std::max(sigma * gap / m_total, 1e-14);
+  }
+
+  for (int i = 0; i < NX; ++i) dx_out[i] = static_cast<float>(w.dx[i]);
+  for (int i = 0; i < NU; ++i) du_out[i] = static_cast<float>(w.du[i]);
+  return 0;
+}

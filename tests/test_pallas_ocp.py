@@ -1,0 +1,117 @@
+"""Lane-packed Pallas IP solver parity vs the XLA reference solver (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.ops.boxqp import OcpQpData, solve_ocp_qp
+from gpmpc_tpu.ops.pallas_ocp import LanesQp, solve_ocp_qp_lanes
+
+T, NX, NU, L = 5, 12, 4, 8
+
+
+def make_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    A = np.tile(np.eye(NX, dtype=np.float32), (L, T, 1, 1)) + 0.1 * rng.normal(
+        size=(L, T, NX, NX)
+    ).astype(np.float32)
+    B = rng.normal(size=(L, T, NX, NU)).astype(np.float32) * 0.4
+    r = rng.normal(size=(L, T, NX)).astype(np.float32) * 0.05
+    qdiag = rng.uniform(0.5, 2.0, size=(L, T + 1, NX)).astype(np.float32)
+    qx = rng.normal(size=(L, T + 1, NX)).astype(np.float32) * 0.5
+    rdiag = rng.uniform(0.5, 2.0, size=(L, T, NU)).astype(np.float32)
+    ru = rng.normal(size=(L, T, NU)).astype(np.float32) * 0.5
+    lx = np.full((L, T + 1, NX), -1.5, np.float32)
+    ux = np.full((L, T + 1, NX), 1.5, np.float32)
+    lu = np.full((L, T, NU), -0.3, np.float32)
+    uu = np.full((L, T, NU), 0.3, np.float32)
+    # disable stage-0 state bounds (x0 pinned), like the SQP does
+    lx[:, 0, :] = -1e8
+    ux[:, 0, :] = 1e8
+    return dict(A=A, B=B, r=r, qdiag=qdiag, qx=qx, rdiag=rdiag, ru=ru,
+                lx=lx, ux=ux, lu=lu, uu=uu)
+
+
+def to_lanes(d):
+    """(L, ...) batch-leading -> (..., L) lanes-trailing."""
+    return LanesQp(**{k: jnp.asarray(np.moveaxis(v, 0, -1)) for k, v in d.items()})
+
+
+def reference_solutions(d, n_iter):
+    dxs, dus = [], []
+    for b in range(L):
+        qp = OcpQpData(
+            A=jnp.asarray(d["A"][b]), B=jnp.asarray(d["B"][b]), r=jnp.asarray(d["r"][b]),
+            Qxx=jnp.asarray(np.stack([np.diag(q) for q in d["qdiag"][b]])),
+            qx=jnp.asarray(d["qx"][b]),
+            Ruu=jnp.asarray(np.stack([np.diag(q) for q in d["rdiag"][b]])),
+            ru=jnp.asarray(d["ru"][b]),
+            lx=jnp.asarray(d["lx"][b]), ux=jnp.asarray(d["ux"][b]),
+            lu=jnp.asarray(d["lu"][b]), uu=jnp.asarray(d["uu"][b]),
+        )
+        sol = solve_ocp_qp(qp, n_iter=n_iter)
+        dxs.append(np.asarray(sol.dx))
+        dus.append(np.asarray(sol.du))
+    return np.stack(dxs), np.stack(dus)
+
+
+def test_lanes_ip_matches_reference():
+    d = make_batch(0)
+    n_iter = 12
+    qp_lanes = to_lanes(d)
+    dx, du = solve_ocp_qp_lanes(qp_lanes, n_ip=n_iter, interpret=True)
+    dx = np.moveaxis(np.asarray(dx), -1, 0)  # (L, T+1, NX)
+    du = np.moveaxis(np.asarray(du), -1, 0)
+    dx_ref, du_ref = reference_solutions(d, n_iter)
+    np.testing.assert_allclose(du, du_ref, atol=2e-4)
+    np.testing.assert_allclose(dx, dx_ref, atol=2e-4)
+
+
+def test_lanes_ip_respects_bounds():
+    d = make_batch(1)
+    qp_lanes = to_lanes(d)
+    dx, du = solve_ocp_qp_lanes(qp_lanes, n_ip=15, interpret=True)
+    assert np.asarray(du).max() <= 0.3 + 1e-4
+    assert np.asarray(du).min() >= -0.3 - 1e-4
+    # stage 1..T states inside their boxes
+    assert np.asarray(dx)[1:].max() <= 1.5 + 1e-3
+    assert np.asarray(dx)[1:].min() >= -1.5 - 1e-3
+
+
+def test_batched_lanes_step_matches_xla_step():
+    """Full GP-MPC step parity: lanes backend vs vmapped XLA backend."""
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+
+    prior = {"a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
+             "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653}
+    env = DroneFigureEightEnv(EnvParams.default()._replace(n_steps=64, traj_amplitude=0.1))
+    model = symbolic_attitude(dt=0.02, params=prior)
+    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+    r = [3, 3, 3, 0.1]
+    ctrl = GPMPC(model, env.trajectory, prior, horizon=6, q_mpc=q, r_mpc=r,
+                 sparse_gp=True, max_gp_samples=8, seed=0, max_gp_points=32,
+                 sqp_iters=2, qp_iters=6)
+    rng = np.random.default_rng(0)
+    ctrl.train_gp(rng.normal(0, 0.3, (16, 7)).astype(np.float32),
+                  rng.normal(0, 0.3, (16, 3)).astype(np.float32), lr=0.05, iterations=10)
+
+    Bn = 4
+    obs = jnp.asarray(
+        np.asarray(env.trajectory[0])[None] + 0.01 * rng.normal(size=(Bn, 12)), jnp.float32
+    )
+    states = jax.vmap(lambda _: mpc_mod.init_state(6, 12, 4))(jnp.arange(Bn))
+
+    u_x, st_x, _ = jax.vmap(
+        lambda s, o: gpmpc_mod.select_action(model, ctrl.cfg, ctrl.consts, ctrl.gp_model, s, o),
+    )(states, obs)
+    u_l, st_l, _ = gpmpc_mod.batched_select_action_lanes(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model, states, obs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_l), np.asarray(u_x), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_l.X_warm), np.asarray(st_x.X_warm), atol=5e-3
+    )

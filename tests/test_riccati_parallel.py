@@ -71,3 +71,38 @@ def test_mpc_with_parallel_scan_matches_sequential():
         u_p = ctrl_par.select_action(obs)
         np.testing.assert_allclose(u_p, u_s, atol=1e-4)
         obs, _, _, _, _ = env.step(u_s)
+
+
+def test_stage_sharded_parallel_riccati():
+    """Long-horizon Riccati with the STAGE axis sharded over an 8-device mesh:
+    the associative-scan combine tree becomes cross-device collectives (GSPMD),
+    matching the unsharded result — the multi-chip long-horizon path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpmpc_tpu.ops.riccati import LqProblem
+    from gpmpc_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    T_long = 64
+    A = np.tile(np.eye(NX), (T_long, 1, 1)) + 0.05 * rng.normal(size=(T_long, NX, NX))
+    B = rng.normal(size=(T_long, NX, NU)) * 0.5
+    r = rng.normal(size=(T_long, NX)) * 0.05
+    Qxx = np.stack([np.diag(rng.uniform(0.5, 2, NX)) for _ in range(T_long + 1)])
+    qx = rng.normal(size=(T_long + 1, NX)) * 0.3
+    Ruu = np.stack([np.diag(rng.uniform(0.5, 2, NU)) for _ in range(T_long)])
+    ru = rng.normal(size=(T_long, NU)) * 0.3
+    lq = LqProblem(*(jnp.asarray(a, jnp.float32) for a in (A, B, r, Qxx, qx, Ruu, ru)))
+
+    ref = riccati_solve_parallel(lq, jnp.zeros(NX, jnp.float32))
+
+    mesh = make_mesh(8, axis_names=("stage",))
+    stage_shard = NamedSharding(mesh, P("stage"))
+    repl = NamedSharding(mesh, P())
+    # T-sized leaves shard across stages; (T+1)-sized leaves (65, indivisible)
+    # stay replicated — GSPMD still distributes the combine tree.
+    lq_sharded = jax.tree.map(
+        lambda a: jax.device_put(a, stage_shard if a.shape[0] % 8 == 0 else repl), lq
+    )
+    solver = jax.jit(riccati_solve_parallel)
+    out = solver(lq_sharded, jnp.zeros(NX, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out.du), np.asarray(ref.du), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.dx), np.asarray(ref.dx), atol=1e-5)
