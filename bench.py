@@ -27,6 +27,16 @@ NORTH_STAR = 1.0e4  # solves/s, BASELINE.json north_star
 
 def main():
     import jax
+
+    # Persistent compilation cache: the remote-compile service behind the axon
+    # tunnel can take minutes per new program; cache executables across runs.
+    try:
+        cache_dir = str(Path(__file__).resolve().parent / ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

@@ -32,6 +32,11 @@ class SqpConfig(NamedTuple):
     qp_iters: int = 15
     step_tol: float = 1e-6
     parallel_scan: bool = False  # O(log T) associative-scan Riccati (long horizons)
+    # Stop iterating once converged (lax.while_loop) instead of running masked
+    # no-op iterations to the fixed count. This matches acados semantics — its SQP
+    # exits at tolerance, max_iter is a cap — and is where warm-started MPC wins:
+    # steady-state solves converge in 2-3 iterations.
+    early_exit: bool = True
 
 
 class OcpCost(NamedTuple):
@@ -135,8 +140,17 @@ def sqp_solve(
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(0, jnp.int32),
     )
-    (X, U, _, step_norm, qp_gap, n_iters), _ = jax.lax.scan(
-        body, init, None, length=cfg.sqp_iters
-    )
+    if cfg.early_exit:
+        def cond(carry):
+            _, _, converged, *_rest, n_iters = carry
+            return jnp.logical_and(n_iters < cfg.sqp_iters, jnp.logical_not(converged))
+
+        (X, U, _, step_norm, qp_gap, n_iters) = jax.lax.while_loop(
+            cond, lambda c: body(c, None)[0], init
+        )
+    else:
+        (X, U, _, step_norm, qp_gap, n_iters), _ = jax.lax.scan(
+            body, init, None, length=cfg.sqp_iters
+        )
     X = X.at[0].set(x0)
     return SqpSolution(X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters)

@@ -129,7 +129,18 @@ def sqp_solve_batch_lanes(
         jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((B,), jnp.int32),
     )
-    (X, U, _, step_norm, n_iters), _ = jax.lax.scan(body, init, None, length=cfg.sqp_iters)
+    if cfg.early_exit:
+        def cond(carry):
+            _, _, converged, _, n_iters = carry
+            return jnp.logical_and(
+                jnp.max(n_iters) < cfg.sqp_iters, jnp.logical_not(jnp.all(converged))
+            )
+
+        (X, U, _, step_norm, n_iters) = jax.lax.while_loop(
+            cond, lambda c: body(c, None)[0], init
+        )
+    else:
+        (X, U, _, step_norm, n_iters), _ = jax.lax.scan(body, init, None, length=cfg.sqp_iters)
     X = X.at[:, 0, :].set(x0)
     return SqpSolution(
         X=X, U=U, step_norm=step_norm, qp_gap=jnp.zeros_like(step_norm), n_iters=n_iters

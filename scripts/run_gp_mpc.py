@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--platform", default=None, help="jax platform override (cpu for local)")
     p.add_argument("--fast", action="store_true", help="short episodes / few iters (smoke run)")
     p.add_argument("--config", default=str(Path(__file__).parent / "gp_mpc_config.yaml"))
+    p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="save per-epoch checkpoints here and resume from the latest on restart",
+    )
     return p.parse_args()
 
 
@@ -75,9 +79,19 @@ def sample_data(data, n_samples: int, rng):
     return obs[idx], actions[idx], obs[idx + 1]
 
 
-def learn(n_epochs, ctrl, env, lr, gp_iterations, seed, samples_per_epoch, n_steps):
-    """Multi-epoch learning loop. ≙ learn, run_gp_mpc.py:86-137."""
+def learn(
+    n_epochs, ctrl, env, lr, gp_iterations, seed, samples_per_epoch, n_steps,
+    checkpoint_dir=None,
+):
+    """Multi-epoch learning loop. ≙ learn, run_gp_mpc.py:86-137.
+
+    With `checkpoint_dir`, the accumulated GP dataset + trained GP state are
+    checkpointed after every epoch (the reference persists nothing, SURVEY.md §5);
+    an interrupted run resumes from the latest epoch.
+    """
     import numpy as np
+
+    from gpmpc_tpu.utils.checkpoint import ExperimentCheckpoint
 
     train_runs, test_runs = {}, {}
     rng = np.random.default_rng(seed)
@@ -87,11 +101,27 @@ def learn(n_epochs, ctrl, env, lr, gp_iterations, seed, samples_per_epoch, n_ste
     assert n_epochs < int(1e6)
     epoch_seeds = rng.choice(np.iinfo(np.int32).max, size=int(1e6), replace=False)[: n_epochs + 1]
 
+    ckpt = ExperimentCheckpoint(checkpoint_dir) if checkpoint_dir else None
+    start_epoch = 1
+    x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
+    if ckpt is not None and (latest := ckpt.latest_epoch()) is not None:
+        x_train, y_train, _ = ckpt.restore(latest, ctrl)
+        start_epoch = latest + 1
+        print(f"resumed from checkpoint epoch {latest} ({x_train.shape[0]} samples)")
+
     train_runs[0] = run_evaluation(env, ctrl.prior_ctrl, int(epoch_seeds[0]), n_steps)
     test_runs[0] = run_evaluation(env, ctrl.prior_ctrl, eval_seed, n_steps)
-    x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
+    if start_epoch > 1:
+        # Recreate the last data-collection rollout with the restored GP state;
+        # deterministic seeding makes it identical to the pre-interrupt run.
+        train_runs[start_epoch - 1] = run_evaluation(
+            env, ctrl, int(epoch_seeds[start_epoch - 1]), n_steps
+        )
+        # rng consumed one sample_data draw per completed epoch; fast-forward it.
+        for past in range(1, start_epoch):
+            sample_data(train_runs[0], samples_per_epoch, rng)
 
-    for epoch in range(1, n_epochs + 1):
+    for epoch in range(start_epoch, n_epochs + 1):
         state, actions, next_state = sample_data(train_runs[epoch - 1], samples_per_epoch, rng)
         inputs, targets = ctrl.preprocess_data(state, actions, next_state)
         x_train = np.vstack((x_train, inputs))
@@ -103,6 +133,8 @@ def learn(n_epochs, ctrl, env, lr, gp_iterations, seed, samples_per_epoch, n_ste
         t5 = time.perf_counter()
         train_runs[epoch] = run_evaluation(env, ctrl, int(epoch_seeds[epoch]), n_steps)
         t6 = time.perf_counter()
+        if ckpt is not None:
+            ckpt.save(epoch, ctrl, x_train, y_train)
         print("\nExecution Times (seconds):")
         print(f"{'Operation':<25} {'Time (s)':<10}")
         print("-" * 35)
@@ -166,6 +198,7 @@ def run():
         seed=config.seed,
         samples_per_epoch=config.train.samples_per_epoch,
         n_steps=n_steps,
+        checkpoint_dir=(Path(args.checkpoint_dir) if args.checkpoint_dir else None),
     )
 
     make_quad_plots(
