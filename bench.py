@@ -81,28 +81,41 @@ def main():
         lambda d, k: train_gp_models(d, k, sparse=True, max_inducing=40, n_train=50, lr=0.05)
     )(data, jax.random.PRNGKey(0))
 
+    from gpmpc_tpu.envs import drone
+
     B = int(os.environ.get("BENCH_BATCH", "512"))
-    n_timed_steps = int(os.environ.get("BENCH_STEPS", "5"))
+    n_timed_steps = int(os.environ.get("BENCH_STEPS", "10"))
     backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
-    step = jax.jit(
-        lambda consts, gpm, states, obs: batched_gpmpc_step(
-            model, ctrl.cfg, consts, gpm, states, obs, backend=backend
+
+    # Closed-loop step: controller solve + plant integration, so every timed
+    # solve sees a genuinely new observation (honest steady-state MPC load —
+    # with early-exit SQP, re-solving an unchanged problem would be free).
+    env_p = env.p
+
+    def closed_loop_step(consts, gpm, env_states, ctrl_states, obs):
+        u, ctrl_states, _ = batched_gpmpc_step(
+            model, ctrl.cfg, consts, gpm, ctrl_states, obs, backend=backend
         )
-    )
+        env_states, obs, _, _, _ = jax.vmap(lambda s, a: drone.env_step(env_p, s, a))(
+            env_states, u
+        )
+        return env_states, ctrl_states, obs, u
 
-    traj0 = np.asarray(env.trajectory[0])
-    obs = jnp.asarray(
-        traj0[None, :] + 0.05 * rng.normal(size=(B, 12)), jnp.float32
-    )
-    states = jax.vmap(lambda _: mpc_mod.init_state(25, 12, 4))(jnp.arange(B))
+    step = jax.jit(closed_loop_step)
 
-    # Warm-up: compile + one step (also advances to the tightening-active path).
-    u, states, _ = step(ctrl.consts, gp, states, obs)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    env_states, obs = jax.vmap(lambda k: drone.env_reset(env_p, k))(keys)
+    ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(25, 12, 4))(jnp.arange(B))
+
+    # Warm-up: compile + two steps (past the cold-start solve into the
+    # warm-started tightening-active regime).
+    for _ in range(2):
+        env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
     u.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(n_timed_steps):
-        u, states, _ = step(ctrl.consts, gp, states, obs)
+        env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
     u.block_until_ready()
     dt_total = time.perf_counter() - t0
 

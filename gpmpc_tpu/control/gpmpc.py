@@ -234,9 +234,13 @@ def propagate_constraint_limits(
     z_slices = slice_gp_inputs(z7)  # (3, T, 3)
 
     def var_one(Z_i, y_i, mask_i, chol_i, alpha_i, h_raw, z_i):
+        from gpmpc_tpu.gp.exact_gp import GPPosterior
+
         hyp = GPHypers(*h_raw)
         data = GPData(x=Z_i, y=y_i, mask=mask_i)
-        post = posterior(hyp, data)._replace(chol=chol_i, alpha=alpha_i)
+        # Reuse the factorization cached at training time (GpModel.chol) — no
+        # per-step re-Cholesky.
+        post = GPPosterior(chol=chol_i, alpha=alpha_i)
         return predict_var(hyp, data, post, z_i, include_noise=False)
 
     covs_diag = jax.vmap(
@@ -448,6 +452,7 @@ class GPMPC:
         max_gp_points: int = 128,
         sqp_iters: int = 25,
         qp_iters: int = 15,
+        parallel_scan: bool = False,
     ):
         if prior_params is None or any(k not in prior_params for k in ("a", "b")):
             raise ValueError("GPMPC requires prior_params to be defined and contain 'a' and 'b'.")
@@ -476,7 +481,7 @@ class GPMPC:
         self.prior_ctrl = MPC(
             symbolic_model, traj, q_mpc=q_mpc, r_mpc=r_mpc,
             output_dir=output_dir, horizon=horizon,
-            sqp_iters=sqp_iters, qp_iters=qp_iters,
+            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan,
         )
         self.traj = traj
 
@@ -508,7 +513,9 @@ class GPMPC:
             inverse_cdf=jnp.asarray(inverse_cdf, jnp.float32),
             dt=jnp.asarray(self.dt, jnp.float32),
         )
-        self.cfg = SqpConfig(sqp_iters=sqp_iters, qp_iters=qp_iters)
+        self.cfg = SqpConfig(
+            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan
+        )
         self.gp_model = empty_gp_model(
             self.max_gp_points,
             self.max_gp_samples if sparse_gp else self.max_gp_points,

@@ -160,6 +160,7 @@ class MPC:
         horizon: int = 5,
         sqp_iters: int = 25,
         qp_iters: int = 15,
+        parallel_scan: bool = False,
     ):
         self.model = symbolic_model
         self.T = horizon
@@ -168,7 +169,9 @@ class MPC:
             self.traj = self.traj.T
         self.output_dir = output_dir
         self.consts = make_consts(symbolic_model, self.traj, q_mpc, r_mpc, horizon)
-        self.cfg = SqpConfig(sqp_iters=sqp_iters, qp_iters=qp_iters)
+        self.cfg = SqpConfig(
+            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan
+        )
         self.state = init_state(horizon, symbolic_model.nx, symbolic_model.nu)
         self._step = jax.jit(
             partial(select_action, self.model, self.cfg), static_argnames=()

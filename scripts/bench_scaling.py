@@ -1,0 +1,121 @@
+"""Scaling benchmark sweep over the BASELINE.json configs that fit one chip.
+
+Covers:
+  * config 3: 1k+ domain-randomized scenarios, batched closed-loop GP-MPC
+  * config 4: large-dataset GP (5k training points) with 2x horizon (T=50)
+  * backend comparison: lanes (Pallas) vs xla at several batch sizes
+
+Prints one JSON line per measurement (same schema as bench.py). Run on TPU:
+  python scripts/bench_scaling.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC, pack_training_data, train_gp_models
+    from gpmpc_tpu.envs import drone
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.parallel.batch import batched_gpmpc_step
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", str(Path(__file__).resolve().parents[1] / ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    prior = {"a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
+             "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653}
+    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+    r = [3, 3, 3, 0.1]
+    env = DroneFigureEightEnv()
+    rng = np.random.default_rng(0)
+
+    def make_gp(n_data, max_points, max_inducing):
+        x7 = np.zeros((n_data, 7), np.float32)
+        x7[:, 0] = rng.uniform(0.2, 0.5, n_data)
+        x7[:, 1:] = rng.normal(0, 0.2, (n_data, 6))
+        y3 = np.stack(
+            [4 + 0.5 * np.sin(5 * x7[:, 0]), 0.1 * x7[:, 1], 0.1 * x7[:, 4]], 1
+        ).astype(np.float32)
+        data = pack_training_data(jnp.asarray(x7), jnp.asarray(y3), max_points)
+        return jax.jit(
+            lambda d, k: train_gp_models(
+                d, k, sparse=True, max_inducing=max_inducing, n_train=20, lr=0.05
+            )
+        )(data, jax.random.PRNGKey(0))
+
+    def run_case(name, horizon, B, backend, gp, model, ctrl, steps):
+        env_p = env.p
+
+        def closed_loop(consts, gpm, env_states, ctrl_states, obs):
+            u, ctrl_states, _ = batched_gpmpc_step(
+                model, ctrl.cfg, consts, gpm, ctrl_states, obs, backend=backend
+            )
+            env_states, obs, _, _, _ = jax.vmap(
+                lambda s, a: drone.env_step(env_p, s, a)
+            )(env_states, u)
+            return env_states, ctrl_states, obs, u
+
+        step = jax.jit(closed_loop)
+        keys = jax.random.split(jax.random.PRNGKey(1), B)
+        env_states, obs = jax.vmap(lambda k: drone.env_reset(env_p, k))(keys)
+        ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(horizon, 12, 4))(jnp.arange(B))
+        for _ in range(2):
+            env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        u.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        u.block_until_ready()
+        dt = time.perf_counter() - t0
+        sps = B * steps / dt
+        print(json.dumps({
+            "metric": f"solves_per_sec[{name}]",
+            "value": round(sps, 1), "unit": "solves/s",
+            "vs_baseline": round(sps / 1e4, 4),
+        }), flush=True)
+
+    steps = 3 if args.quick else 10
+
+    # config 3: 1k scenarios, default problem size
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(model, env.trajectory, prior, horizon=25, q_mpc=q, r_mpc=r,
+                 sparse_gp=True, max_gp_samples=40, seed=1, max_gp_points=128,
+                 sqp_iters=6, qp_iters=10)
+    gp = make_gp(60, 128, 40)
+    for backend in ("lanes", "xla"):
+        for B in ((1024,) if args.quick else (1024, 4096)):
+            run_case(f"T25_gp128_{backend}_B{B}", 25, B, backend, gp, model, ctrl, steps)
+
+    # config 4: large GP (5k points padded to 5120) + 2x horizon
+    ctrl50 = GPMPC(model, env.trajectory, prior, horizon=50, q_mpc=q, r_mpc=r,
+                   sparse_gp=True, max_gp_samples=128, seed=1, max_gp_points=5120,
+                   sqp_iters=6, qp_iters=10)
+    gp_big = make_gp(5000, 5120, 128)
+    run_case("T50_gp5k_lanes_B256", 50, 256, "lanes", gp_big, model, ctrl50, steps)
+
+
+if __name__ == "__main__":
+    main()

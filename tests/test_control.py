@@ -131,3 +131,14 @@ def test_select_action_deterministic(env):
     ctrl.reset()
     u2 = ctrl.select_action(obs)
     np.testing.assert_array_equal(u1, u2)
+
+
+def test_long_horizon_parallel_scan_controller(env):
+    """BASELINE config "2x horizon": T=50 with the O(log T) associative-scan
+    Riccati backend tracks the figure-eight."""
+    model = symbolic_attitude(dt=0.02, params=TRUE_PARAMS)
+    ctrl = MPC(model, env.trajectory, Q, R, horizon=50, sqp_iters=4, qp_iters=8,
+               parallel_scan=True)
+    errs = rollout(env, ctrl, n=25)
+    assert np.all(np.isfinite(errs))
+    assert errs[-5:].mean() < 0.06, errs[-5:]

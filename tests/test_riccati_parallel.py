@@ -57,12 +57,8 @@ def test_mpc_with_parallel_scan_matches_sequential():
     q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
     r = [3, 3, 3, 0.1]
     ctrl_seq = MPC(model, env.trajectory, q, r, horizon=8, sqp_iters=3, qp_iters=6)
-    ctrl_par = MPC(model, env.trajectory, q, r, horizon=8, sqp_iters=3, qp_iters=6)
-    ctrl_par.cfg = ctrl_par.cfg._replace(parallel_scan=True)
-    import functools, jax
-    from gpmpc_tpu.control import mpc as mpc_mod
-
-    ctrl_par._step = jax.jit(functools.partial(mpc_mod.select_action, ctrl_par.model, ctrl_par.cfg))
+    ctrl_par = MPC(model, env.trajectory, q, r, horizon=8, sqp_iters=3, qp_iters=6,
+                   parallel_scan=True)
     obs, _ = env.reset(seed=0)
     ctrl_seq.reset()
     ctrl_par.reset()
