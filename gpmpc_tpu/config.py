@@ -46,6 +46,7 @@ class GpMpcSection:
     sqp_iters: int = 25  # ≙ acados nlp_solver_max_iter
     qp_iters: int = 15  # interior-point iterations per QP
     max_gp_points: int = 128  # padded GP dataset capacity (avoids re-jit on growth)
+    parallel_scan: bool = False  # O(log T) associative-scan Riccati (long horizons)
 
     def __post_init__(self):
         if self.prior_params is None or any(

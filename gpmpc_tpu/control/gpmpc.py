@@ -49,7 +49,6 @@ from gpmpc_tpu.gp.exact_gp import (
     GPHypers,
     fit_gp,
     posterior,
-    predict_var,
 )
 from gpmpc_tpu.gp.kernels import se_kernel
 from gpmpc_tpu.gp.sparse import fitc_posterior_mean, select_inducing
@@ -77,6 +76,10 @@ class GpModel(NamedTuple):
     mask: jax.Array  # (3, M)
     hypers: GPHypers  # leaves shaped (3,)
     chol: jax.Array  # (3, M, M) Cholesky of K + sigma^2 I
+    K_inv: jax.Array  # (3, M, M) explicit inverse — turns per-step predictive
+    # variance into pure GEMMs (MXU) instead of batched triangular solves; computed
+    # once per training (≙ compute_covariances, gp.py:43-46, where the reference's
+    # dense-inverse quirk is the right call for the TPU hot path)
     alpha_full: jax.Array  # (3, M) exact posterior weights
     # Mean-prediction inducing set: FITC subset if sparse, else the full set.
     Zs: jax.Array  # (3, Ms, 3)
@@ -103,6 +106,7 @@ def empty_gp_model(max_points: int, max_inducing: int, dtype=jnp.float32) -> GpM
         mask=jnp.zeros((NUM_GPS, M), dtype),
         hypers=GPHypers(zeros3, zeros3, zeros3),
         chol=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
+        K_inv=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
         alpha_full=jnp.zeros((NUM_GPS, M), dtype),
         Zs=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
         alpha_s=jnp.zeros((NUM_GPS, Ms), dtype),
@@ -167,6 +171,11 @@ def train_gp_models(
     hypers, _ = jax.vmap(lambda d: fit_gp(d, n_train=n_train, lr=lr))(data)
     hypers = GPHypers(*hypers)
     post = jax.vmap(posterior)(hypers, data)
+    M = data.x.shape[1]
+    eye = jnp.eye(M, dtype=data.x.dtype)
+    K_inv = jax.vmap(
+        lambda c: jax.scipy.linalg.cho_solve((c, True), eye)
+    )(post.chol)
 
     if sparse:
         idx_s, s_mask = select_inducing(key, data.mask[0], max_inducing)
@@ -178,7 +187,7 @@ def train_gp_models(
 
     return GpModel(
         Z=data.x, y=data.y, mask=data.mask,
-        hypers=hypers, chol=post.chol, alpha_full=post.alpha,
+        hypers=hypers, chol=post.chol, K_inv=K_inv, alpha_full=post.alpha,
         Zs=Zs, alpha_s=alpha_s, trained=jnp.asarray(True),
     )
 
@@ -233,24 +242,18 @@ def propagate_constraint_limits(
     z7 = gp_input_from_xu(x_prev[:-1], u_prev)  # (T, 7)
     z_slices = slice_gp_inputs(z7)  # (3, T, 3)
 
-    def var_one(Z_i, y_i, mask_i, chol_i, alpha_i, h_raw, z_i):
-        from gpmpc_tpu.gp.exact_gp import GPPosterior
+    def var_one(Z_i, mask_i, Kinv_i, ell_i, sf2_i, z_i):
+        # K_inv-based exact variance: var = sf2 - sum((k K_inv) * k) — pure GEMMs
+        # on the MXU (no per-step triangular solves). ≙ the LOVE fast-variance
+        # call at gpmpc.py:443-445, but exact.
+        k = se_kernel(z_i, Z_i, ell_i, sf2_i) * mask_i[None, :]  # (T, M)
+        var = sf2_i - jnp.einsum("tm,mn,tn->t", k, Kinv_i, k)
+        return jnp.maximum(var, 1e-12)
 
-        hyp = GPHypers(*h_raw)
-        data = GPData(x=Z_i, y=y_i, mask=mask_i)
-        # Reuse the factorization cached at training time (GpModel.chol) — no
-        # per-step re-Cholesky.
-        post = GPPosterior(chol=chol_i, alpha=alpha_i)
-        return predict_var(hyp, data, post, z_i, include_noise=False)
-
-    covs_diag = jax.vmap(
-        lambda Z_i, y_i, m_i, c_i, a_i, h0, h1, h2, z_i: var_one(
-            Z_i, y_i, m_i, c_i, a_i, (h0, h1, h2), z_i
-        )
-    )(
-        gp.Z, gp.y, gp.mask, gp.chol, gp.alpha_full,
-        gp.hypers.raw_lengthscale, gp.hypers.raw_outputscale, gp.hypers.raw_noise,
-        z_slices,
+    ell_all = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    sf2_all = jax.nn.softplus(gp.hypers.raw_outputscale)
+    covs_diag = jax.vmap(var_one)(
+        gp.Z, gp.mask, gp.K_inv, ell_all, sf2_all, z_slices
     )  # (3, T)
 
     phi = z7[:, 1]
@@ -588,4 +591,11 @@ class GPMPC:
     def select_action(self, obs) -> np.ndarray:
         obs = jnp.asarray(obs, jnp.float32)
         u, self.state, self._last_info = self._step(self.consts, self.gp_model, self.state, obs)
-        return np.asarray(u)
+        u = np.asarray(u)
+        # ≙ `assert status in [0, 2]` after each acados solve (gpmpc.py:365).
+        if not np.all(np.isfinite(u)):
+            raise RuntimeError(
+                f"GP-MPC solve produced non-finite action {u} "
+                f"(step_norm={float(self._last_info.step_norm)})"
+            )
+        return u

@@ -184,4 +184,12 @@ class MPC:
     def select_action(self, obs) -> np.ndarray:
         obs = jnp.asarray(obs, jnp.float32)
         u, self.state, self._last_info = self._step(self.consts, self.state, obs)
-        return np.asarray(u)
+        u = np.asarray(u)
+        # ≙ `assert status in [0, 2]` after each acados solve (mpc.py:185): a
+        # non-finite solution is the analogue of a failed solver status.
+        if not np.all(np.isfinite(u)):
+            raise RuntimeError(
+                f"MPC solve produced non-finite action {u} "
+                f"(step_norm={float(self._last_info.step_norm)})"
+            )
+        return u

@@ -23,11 +23,22 @@ from gpmpc_tpu.ops.pallas_ocp import LANES, LanesQp, solve_ocp_qp_lanes
 from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, SqpSolution
 
 
-def _to_lane_tiles(x: jax.Array, n_tiles: int) -> jax.Array:
-    """(B_pad, ...) -> (n_tiles, ..., LANES)."""
+def _lane_width(T: int) -> int:
+    """Lane-tile width: the kernel holds all T stages in VMEM (~16 MB/core), so
+    long horizons halve the scenario tile. Rough budget: ~0.37 MB per stage per
+    128 lanes."""
+    if T <= 32:
+        return LANES
+    if T <= 72:
+        return LANES // 2
+    return LANES // 4
+
+
+def _to_lane_tiles(x: jax.Array, n_tiles: int, lanes: int) -> jax.Array:
+    """(B_pad, ...) -> (n_tiles, ..., lanes)."""
     x = jnp.moveaxis(x, 0, -1)  # (..., B_pad)
-    x = x.reshape(x.shape[:-1] + (n_tiles, LANES))
-    return jnp.moveaxis(x, -2, 0)  # (n_tiles, ..., LANES)
+    x = x.reshape(x.shape[:-1] + (n_tiles, lanes))
+    return jnp.moveaxis(x, -2, 0)  # (n_tiles, ..., lanes)
 
 
 def _from_lane_tiles(x: jax.Array, B: int) -> jax.Array:
@@ -52,8 +63,9 @@ def sqp_solve_batch_lanes(
     T = Tp1 - 1
     nu = U_init.shape[2]
     dtype = X_init.dtype
-    B_pad = B + ((-B) % LANES)
-    n_tiles = B_pad // LANES
+    lanes = _lane_width(T)
+    B_pad = B + ((-B) % lanes)
+    n_tiles = B_pad // lanes
 
     q_diag_stage = jnp.diagonal(cost.Q)  # (nx,)
     qe_diag = jnp.diagonal(cost.Qe)
@@ -92,17 +104,17 @@ def sqp_solve_batch_lanes(
         uu = bounds.uu - U
 
         tiles = LanesQp(
-            A=_to_lane_tiles(pad_b(A), n_tiles),
-            B=_to_lane_tiles(pad_b(Bm), n_tiles),
-            r=_to_lane_tiles(pad_b(defect), n_tiles),
-            qdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(qdiag[None], (B,) + qdiag.shape)), n_tiles),
-            qx=_to_lane_tiles(pad_b(qx), n_tiles),
-            rdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(rdiag[None], (B,) + rdiag.shape)), n_tiles),
-            ru=_to_lane_tiles(pad_b(ru), n_tiles),
-            lx=_to_lane_tiles(pad_b(lx), n_tiles),
-            ux=_to_lane_tiles(pad_b(ux), n_tiles),
-            lu=_to_lane_tiles(pad_b(lu), n_tiles),
-            uu=_to_lane_tiles(pad_b(uu), n_tiles),
+            A=_to_lane_tiles(pad_b(A), n_tiles, lanes),
+            B=_to_lane_tiles(pad_b(Bm), n_tiles, lanes),
+            r=_to_lane_tiles(pad_b(defect), n_tiles, lanes),
+            qdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(qdiag[None], (B,) + qdiag.shape)), n_tiles, lanes),
+            qx=_to_lane_tiles(pad_b(qx), n_tiles, lanes),
+            rdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(rdiag[None], (B,) + rdiag.shape)), n_tiles, lanes),
+            ru=_to_lane_tiles(pad_b(ru), n_tiles, lanes),
+            lx=_to_lane_tiles(pad_b(lx), n_tiles, lanes),
+            ux=_to_lane_tiles(pad_b(ux), n_tiles, lanes),
+            lu=_to_lane_tiles(pad_b(lu), n_tiles, lanes),
+            uu=_to_lane_tiles(pad_b(uu), n_tiles, lanes),
         )
         dx_t, du_t = jax.lax.map(
             lambda t: solve_ocp_qp_lanes(t, n_ip=cfg.qp_iters, interpret=interpret),

@@ -187,6 +187,7 @@ def run():
         max_gp_points=g.max_gp_points,
         sqp_iters=g.sqp_iters,
         qp_iters=g.qp_iters,
+        parallel_scan=g.parallel_scan,
     )
 
     train_runs, test_runs = learn(

@@ -1,0 +1,45 @@
+"""Plotting surface: artifact-set parity with the reference output files."""
+
+import numpy as np
+
+from gpmpc_tpu.utils.plotting import get_runtime, make_quad_plots, plot_quad_eval
+
+
+def fake_run(n_steps=40, nx=12, nu=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "obs": rng.normal(size=(n_steps, nx)),
+        "action": rng.normal(size=(n_steps, nu)),
+        "reward": rng.normal(size=n_steps),
+        "inference_time_data": list(rng.uniform(0.001, 0.01, n_steps)),
+    }
+
+
+def test_make_quad_plots_artifacts(tmp_path):
+    test_runs = {0: fake_run(seed=0), 1: fake_run(seed=1), 2: fake_run(seed=2)}
+    train_runs = {0: fake_run(seed=3), 1: fake_run(seed=4), 2: fake_run(seed=5)}
+    traj = np.random.default_rng(9).normal(size=(40, 12))
+    make_quad_plots(test_runs, train_runs, traj, tmp_path)
+    figs = tmp_path / "figs"
+    expected = (
+        ["xyz_path.png", "runtime.png", "runtime.csv"]
+        + [f"x{i}.png" for i in range(12)]
+        + [f"u{i}.png" for i in range(4)]
+    )
+    for name in expected:  # same artifact names as the reference bundle
+        assert (figs / name).exists(), name
+
+
+def test_plot_quad_eval_artifact(tmp_path):
+    run = fake_run(seed=1)
+    reference = np.random.default_rng(2).normal(size=(12, 40))
+    plot_quad_eval(run, reference, dt=0.02, save_path=tmp_path)
+    assert (tmp_path / "state_trajectories.png").exists()
+
+
+def test_get_runtime_drops_first_sample():
+    runs = {0: fake_run(seed=0)}
+    out = get_runtime(runs, runs)
+    expect = np.asarray(runs[0]["inference_time_data"][1:])
+    np.testing.assert_allclose(out["mean"][0], expect.mean())
+    np.testing.assert_allclose(out["max"][0], expect.max())
