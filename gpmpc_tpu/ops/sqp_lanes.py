@@ -23,15 +23,20 @@ from gpmpc_tpu.ops.pallas_ocp import LANES, LanesQp, solve_ocp_qp_lanes
 from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, SqpSolution
 
 
+MAX_LANES_HORIZON = 32  # all-resident kernel fits ~16 MB VMEM up to T=32
+
+
 def _lane_width(T: int) -> int:
-    """Lane-tile width: the kernel holds all T stages in VMEM (~16 MB/core), so
-    long horizons halve the scenario tile. Rough budget: ~0.37 MB per stage per
-    128 lanes."""
-    if T <= 32:
-        return LANES
-    if T <= 72:
-        return LANES // 2
-    return LANES // 4
+    """Lane-tile width. The lane axis is physically padded to 128, so narrowing
+    tiles does NOT reduce VMEM — the kernel simply requires T <= MAX_LANES_HORIZON
+    (callers fall back to the XLA backend beyond that; a streaming-DMA variant
+    that stages A/B through HBM is the future long-horizon path)."""
+    if T > MAX_LANES_HORIZON:
+        raise ValueError(
+            f"lanes backend supports horizons up to {MAX_LANES_HORIZON} (got {T}); "
+            "use the xla backend (optionally with parallel_scan) for longer horizons"
+        )
+    return LANES
 
 
 def _to_lane_tiles(x: jax.Array, n_tiles: int, lanes: int) -> jax.Array:

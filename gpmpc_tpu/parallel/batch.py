@@ -45,8 +45,13 @@ def batched_gpmpc_step(
     backend="lanes" routes QP solves through the lane-packed Pallas kernel
     (ops/pallas_ocp.py) — the fast path on TPU for B >= 128.
     """
-    if backend == "lanes":
+    from gpmpc_tpu.ops.sqp_lanes import MAX_LANES_HORIZON
+
+    T = consts.mpc.uref.shape[0]
+    if backend == "lanes" and T <= MAX_LANES_HORIZON:
         return gpmpc_mod.batched_select_action_lanes(model, cfg, consts, gp, states, obs)
+    # Long horizons exceed the all-resident kernel's VMEM budget: fall back to
+    # the XLA path (combine with cfg.parallel_scan for O(log T) depth).
     step = partial(gpmpc_mod.select_action, model, cfg)
     return jax.vmap(step, in_axes=(None, None, 0, 0))(consts, gp, states, obs)
 
