@@ -102,7 +102,12 @@ def load_config(path: str | Path, make_save_dir: bool = True) -> Config:
     """
     cfg = Config.from_yaml(path)
     if make_save_dir:
-        root = Path(path).resolve().parents[1] / cfg.save_dir
+        # Anchor relative save dirs at the CWD (the reference anchored at the
+        # config file's grandparent, which escapes to '/' for configs outside a
+        # repo checkout).
+        root = Path(cfg.save_dir)
+        if not root.is_absolute():
+            root = Path.cwd() / root
         root.mkdir(parents=True, exist_ok=True)
         cfg.save_dir = str(mkdir_date(root))
     return cfg

@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # scenario tile width (lane dimension)
-BOUND_INF = 1e8
 
 
 def _mm(x, y):
@@ -115,7 +114,7 @@ def _ip_kernel_body(
     A_ref, B_ref, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
     lx_ref, ux_ref, lu_ref, uu_ref,
     # outputs
-    dx_out, du_out,
+    dx_out, du_out, gap_out,
     # scratch
     dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
     K_s, kff_s, rdyn_s, qhat_s, rhat_s, sigx_s, sigu_s,
@@ -199,7 +198,6 @@ def _ip_kernel_body(
 
         # ---- forward rollout ----
         ddx_prev = jnp.zeros((nx, L), f32)
-        dsl_mins = []
         ddu_all = []
         ddx_all = [ddx_prev]
         for k in range(T):
@@ -261,6 +259,13 @@ def _ip_kernel_body(
     mu = jax.lax.fori_loop(0, n_ip, ip_iter, mu)
     dx_out[...] = dx_s[...]
     du_out[...] = du_s[...]
+    # Final per-lane complementarity gap (solve-quality diagnostic).
+    gap_out[0, :] = (
+        jnp.sum((slx_s[...] * llx_s[...]).reshape(-1, L), axis=0)
+        + jnp.sum((sux_s[...] * lux_s[...]).reshape(-1, L), axis=0)
+        + jnp.sum((slu_s[...] * llu_s[...]).reshape(-1, L), axis=0)
+        + jnp.sum((suu_s[...] * luu_s[...]).reshape(-1, L), axis=0)
+    ) / m_total
 
 
 @functools.partial(
@@ -274,7 +279,8 @@ def solve_ocp_qp_lanes(
     tau: float = 0.995,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L)).
+    """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L),
+    gap (L,) final complementarity gap per lane).
 
     One grid step per lane tile; all problem data and IP state stay in VMEM for
     the whole solve.
@@ -285,13 +291,14 @@ def solve_ocp_qp_lanes(
 
     kernel = functools.partial(_ip_kernel_body, n_ip, mu0, sigma, tau)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    dx, du = pl.pallas_call(
+    dx, du, gap = pl.pallas_call(
         kernel,
         in_specs=[vm() for _ in range(11)],
-        out_specs=[vm(), vm()],
+        out_specs=[vm(), vm(), vm()],
         out_shape=[
             jax.ShapeDtypeStruct((T + 1, nx, L), f32),
             jax.ShapeDtypeStruct((T, nu, L), f32),
+            jax.ShapeDtypeStruct((1, L), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((T + 1, nx, L), f32),  # dx
@@ -314,7 +321,7 @@ def solve_ocp_qp_lanes(
         ],
         interpret=interpret,
     )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
-    return dx, du
+    return dx, du, gap[0]
 
 
 def pack_lanes(batch_arrays, lanes: int = LANES):

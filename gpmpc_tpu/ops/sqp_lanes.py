@@ -90,7 +90,7 @@ def sqp_solve_batch_lanes(
     big = jnp.asarray(BOUND_INF, dtype)
 
     def body(carry, _):
-        X, U, converged, step_norm, n_iters = carry
+        X, U, converged, step_norm, qp_gap, n_iters = carry
         X = X.at[:, 0, :].set(x0)
 
         A, Bm = fd_jac(X[:, :-1], U)  # (B, T, nx, nx), (B, T, nx, nu)
@@ -121,12 +121,13 @@ def sqp_solve_batch_lanes(
             lu=_to_lane_tiles(pad_b(lu), n_tiles, lanes),
             uu=_to_lane_tiles(pad_b(uu), n_tiles, lanes),
         )
-        dx_t, du_t = jax.lax.map(
+        dx_t, du_t, gap_t = jax.lax.map(
             lambda t: solve_ocp_qp_lanes(t, n_ip=cfg.qp_iters, interpret=interpret),
             tiles,
         )
         dx = _from_lane_tiles(dx_t, B)  # (B, T+1, nx)
         du = _from_lane_tiles(du_t, B)
+        gap = gap_t.reshape(-1)[:B]  # (B,) per-scenario complementarity gap
 
         new_step = jnp.maximum(
             jnp.max(jnp.abs(dx), axis=(1, 2)), jnp.max(jnp.abs(du), axis=(1, 2))
@@ -135,30 +136,34 @@ def sqp_solve_batch_lanes(
         X_new = jnp.where(active, X + dx, X)
         U_new = jnp.where(active, U + du, U)
         step_norm = jnp.where(active[:, 0, 0], new_step, step_norm)
+        qp_gap = jnp.where(active[:, 0, 0], gap, qp_gap)
         n_iters = n_iters + active[:, 0, 0].astype(jnp.int32)
         converged = jnp.logical_or(converged, new_step < cfg.step_tol)
-        return (X_new, U_new, converged, step_norm, n_iters), None
+        return (X_new, U_new, converged, step_norm, qp_gap, n_iters), None
 
     init = (
         X_init,
         U_init,
         jnp.zeros((B,), bool),
         jnp.full((B,), jnp.inf, dtype),
+        jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((B,), jnp.int32),
     )
     if cfg.early_exit:
         def cond(carry):
-            _, _, converged, _, n_iters = carry
+            _, _, converged, _, _, n_iters = carry
             return jnp.logical_and(
                 jnp.max(n_iters) < cfg.sqp_iters, jnp.logical_not(jnp.all(converged))
             )
 
-        (X, U, _, step_norm, n_iters) = jax.lax.while_loop(
+        (X, U, _, step_norm, qp_gap, n_iters) = jax.lax.while_loop(
             cond, lambda c: body(c, None)[0], init
         )
     else:
-        (X, U, _, step_norm, n_iters), _ = jax.lax.scan(body, init, None, length=cfg.sqp_iters)
+        (X, U, _, step_norm, qp_gap, n_iters), _ = jax.lax.scan(
+            body, init, None, length=cfg.sqp_iters
+        )
     X = X.at[:, 0, :].set(x0)
     return SqpSolution(
-        X=X, U=U, step_norm=step_norm, qp_gap=jnp.zeros_like(step_norm), n_iters=n_iters
+        X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters
     )

@@ -69,30 +69,67 @@ def load_metadata(path: Path) -> dict[str, Any]:
         return json.load(f)["metadata"]
 
 
+def save_runs(path: Path, runs: dict[int, dict]):
+    """Persist {epoch: episode_data} dicts (obs/action/reward arrays + timing)."""
+    arrays: dict[str, np.ndarray] = {}
+    for epoch, run in runs.items():
+        for key, val in run.items():
+            arrays[f"{epoch}|{key}"] = np.asarray(val)
+    np.savez(str(path) + ".npz", **arrays)
+
+
+def load_runs(path: Path) -> dict[int, dict]:
+    runs: dict[int, dict] = {}
+    with np.load(str(path) + ".npz") as data:
+        for name in data.files:
+            epoch_s, key = name.split("|", 1)
+            run = runs.setdefault(int(epoch_s), {})
+            val = data[name]
+            run[key] = list(val) if key == "inference_time_data" else val
+    return runs
+
+
 class ExperimentCheckpoint:
-    """Save/restore the GPMPC learning loop state."""
+    """Save/restore the GPMPC learning-loop state: GP model + accumulated
+    dataset + the episode runs so far + the numpy RNG state (bit-exact resume)."""
 
     def __init__(self, directory: Path):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
 
-    def save(self, epoch: int, ctrl, x_train: np.ndarray, y_train: np.ndarray,
-             rng_state: dict | None = None):
+    def save(
+        self,
+        epoch: int,
+        ctrl,
+        x_train: np.ndarray,
+        y_train: np.ndarray,
+        rng: np.random.Generator | None = None,
+        train_runs: dict | None = None,
+        test_runs: dict | None = None,
+    ):
         tree = {
             "gp_model": ctrl.gp_model,
             "gp_key": ctrl._gp_key,
             "x_train": jnp.asarray(x_train),
             "y_train": jnp.asarray(y_train),
         }
+        rng_state = None
+        if rng is not None:
+            rng_state = json.loads(
+                json.dumps(
+                    rng.bit_generator.state,
+                    default=lambda o: int(o) if isinstance(o, np.integer) else o.tolist(),
+                )
+            )
         save_pytree(
             self.dir / f"ckpt_epoch_{epoch}",
             tree,
-            metadata={
-                "epoch": epoch,
-                "sparse": ctrl.sparse,
-                "rng_state": _encode_rng(rng_state),
-            },
+            metadata={"epoch": epoch, "sparse": ctrl.sparse, "rng_state": rng_state},
         )
+        if train_runs is not None:
+            save_runs(self.dir / f"train_runs_{epoch}", train_runs)
+        if test_runs is not None:
+            save_runs(self.dir / f"test_runs_{epoch}", test_runs)
 
     def latest_epoch(self) -> int | None:
         epochs = [
@@ -101,7 +138,10 @@ class ExperimentCheckpoint:
         ]
         return max(epochs) if epochs else None
 
-    def restore(self, epoch: int, ctrl):
+    def restore(self, epoch: int, ctrl, rng: np.random.Generator | None = None):
+        """Restore GP/dataset state into `ctrl` (and RNG state into `rng`).
+
+        Returns (x_train, y_train, train_runs, test_runs)."""
         like = {
             "gp_model": ctrl.gp_model,
             "gp_key": ctrl._gp_key,
@@ -119,18 +159,20 @@ class ExperimentCheckpoint:
         ctrl.gp_model = tree["gp_model"]
         ctrl._gp_key = tree["gp_key"]
         meta = load_metadata(path)
+        if rng is not None and meta.get("rng_state") is not None:
+            state = meta["rng_state"]
+            # JSON round-trip turns the uint32 key array into a list; restore it.
+            if isinstance(state.get("state"), dict) and "key" in state["state"]:
+                state["state"]["key"] = np.asarray(state["state"]["key"], dtype=np.uint64)
+            rng.bit_generator.state = state
+        train_runs = test_runs = None
+        if (self.dir / f"train_runs_{epoch}.npz").exists():
+            train_runs = load_runs(self.dir / f"train_runs_{epoch}")
+        if (self.dir / f"test_runs_{epoch}.npz").exists():
+            test_runs = load_runs(self.dir / f"test_runs_{epoch}")
         return (
             np.asarray(tree["x_train"]),
             np.asarray(tree["y_train"]),
-            _decode_rng(meta.get("rng_state")),
+            train_runs,
+            test_runs,
         )
-
-
-def _encode_rng(state):
-    if state is None:
-        return None
-    return json.loads(json.dumps(state, default=lambda o: o.tolist() if isinstance(o, np.ndarray) else o))
-
-
-def _decode_rng(state):
-    return state

@@ -20,11 +20,8 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.ticker import FormatStrFormatter  # noqa: E402
 
-# Canonical 12-state label list (≙ plotting.py:198-211).
-STATE_LABELS = [
-    "x", "d_x", "y", "d_y", "z", "d_z",
-    "phi", "theta", "psi", "d_phi", "d_theta", "d_psi",
-]
+# Canonical 12-state label list (≙ plotting.py:198-211) — single source of truth.
+from gpmpc_tpu.models.quadrotor import STATE_LABELS  # noqa: E402
 
 
 def get_runtime(test_runs: dict, train_runs: dict) -> dict:

@@ -67,6 +67,12 @@ def main():
         )(data, jax.random.PRNGKey(0))
 
     def run_case(name, horizon, B, backend, gp, model, ctrl, steps):
+        from gpmpc_tpu.ops.sqp_lanes import MAX_LANES_HORIZON
+
+        # Label the backend that actually runs: lanes falls back to xla beyond
+        # the kernel's horizon cap (parallel/batch.py).
+        if backend == "lanes" and horizon > MAX_LANES_HORIZON:
+            name = name.replace("lanes", "xla_fallback")
         env_p = env.p
 
         def closed_loop(consts, gpm, env_states, ctrl_states, obs):

@@ -104,22 +104,31 @@ def learn(
     ckpt = ExperimentCheckpoint(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 1
     x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
+    resumed = False
     if ckpt is not None and (latest := ckpt.latest_epoch()) is not None:
-        x_train, y_train, _ = ckpt.restore(latest, ctrl)
-        start_epoch = latest + 1
-        print(f"resumed from checkpoint epoch {latest} ({x_train.shape[0]} samples)")
+        # Restores the GP state, accumulated dataset, all completed episode runs,
+        # and the exact numpy RNG state — bit-exact continuation.
+        x_train, y_train, tr_saved, te_saved = ckpt.restore(latest, ctrl, rng=rng)
+        if tr_saved is not None:
+            train_runs.update(tr_saved)
+        if te_saved is not None:
+            test_runs.update(te_saved)
+        resumed = tr_saved is not None and (latest in tr_saved) and 0 in tr_saved
+        if resumed:
+            start_epoch = latest + 1
+            print(f"resumed from checkpoint epoch {latest} ({x_train.shape[0]} samples)")
+        else:  # runs missing (old/partial checkpoint): restart cleanly
+            x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
+            rng = np.random.default_rng(seed)
+            eval_seed = int(rng.integers(np.iinfo(np.int32).max))
+            epoch_seeds = rng.choice(
+                np.iinfo(np.int32).max, size=int(1e6), replace=False
+            )[: n_epochs + 1]
+            print("checkpoint incomplete; restarting from epoch 1")
 
-    train_runs[0] = run_evaluation(env, ctrl.prior_ctrl, int(epoch_seeds[0]), n_steps)
-    test_runs[0] = run_evaluation(env, ctrl.prior_ctrl, eval_seed, n_steps)
-    if start_epoch > 1:
-        # Recreate the last data-collection rollout with the restored GP state;
-        # deterministic seeding makes it identical to the pre-interrupt run.
-        train_runs[start_epoch - 1] = run_evaluation(
-            env, ctrl, int(epoch_seeds[start_epoch - 1]), n_steps
-        )
-        # rng consumed one sample_data draw per completed epoch; fast-forward it.
-        for past in range(1, start_epoch):
-            sample_data(train_runs[0], samples_per_epoch, rng)
+    if not resumed:
+        train_runs[0] = run_evaluation(env, ctrl.prior_ctrl, int(epoch_seeds[0]), n_steps)
+        test_runs[0] = run_evaluation(env, ctrl.prior_ctrl, eval_seed, n_steps)
 
     for epoch in range(start_epoch, n_epochs + 1):
         state, actions, next_state = sample_data(train_runs[epoch - 1], samples_per_epoch, rng)
@@ -134,7 +143,10 @@ def learn(
         train_runs[epoch] = run_evaluation(env, ctrl, int(epoch_seeds[epoch]), n_steps)
         t6 = time.perf_counter()
         if ckpt is not None:
-            ckpt.save(epoch, ctrl, x_train, y_train)
+            ckpt.save(
+                epoch, ctrl, x_train, y_train,
+                rng=rng, train_runs=train_runs, test_runs=test_runs,
+            )
         print("\nExecution Times (seconds):")
         print(f"{'Operation':<25} {'Time (s)':<10}")
         print("-" * 35)
@@ -212,10 +224,12 @@ def run():
     env.close()
     plot_quad_eval(trajs_data, np.asarray(traj).T, prior_model.dt, Path(config.save_dir))
 
-    # Summary line for quick health checks.
-    for epoch, run_data in test_runs.items():
-        obs = run_data["obs"]
-        ref = np.asarray(traj)[: obs.shape[0]]
+    # Summary line for quick health checks. The reference trajectory is periodic;
+    # obs has one more row (initial state) than steps, so index modulo the period.
+    traj_np = np.asarray(traj)
+    for epoch in sorted(test_runs):
+        obs = test_runs[epoch]["obs"]
+        ref = traj_np[np.arange(obs.shape[0]) % traj_np.shape[0]]
         err = np.sqrt(
             (obs[:, 0] - ref[:, 0]) ** 2 + (obs[:, 2] - ref[:, 2]) ** 2 + (obs[:, 4] - ref[:, 4]) ** 2
         )

@@ -59,7 +59,8 @@ def test_lanes_ip_matches_reference():
     d = make_batch(0)
     n_iter = 12
     qp_lanes = to_lanes(d)
-    dx, du = solve_ocp_qp_lanes(qp_lanes, n_ip=n_iter, interpret=True)
+    dx, du, gap = solve_ocp_qp_lanes(qp_lanes, n_ip=n_iter, interpret=True)
+    assert np.all(np.asarray(gap) < 1e-4)
     dx = np.moveaxis(np.asarray(dx), -1, 0)  # (L, T+1, NX)
     du = np.moveaxis(np.asarray(du), -1, 0)
     dx_ref, du_ref = reference_solutions(d, n_iter)
@@ -70,7 +71,7 @@ def test_lanes_ip_matches_reference():
 def test_lanes_ip_respects_bounds():
     d = make_batch(1)
     qp_lanes = to_lanes(d)
-    dx, du = solve_ocp_qp_lanes(qp_lanes, n_ip=15, interpret=True)
+    dx, du, _ = solve_ocp_qp_lanes(qp_lanes, n_ip=15, interpret=True)
     assert np.asarray(du).max() <= 0.3 + 1e-4
     assert np.asarray(du).min() >= -0.3 - 1e-4
     # stage 1..T states inside their boxes

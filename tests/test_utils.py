@@ -38,12 +38,25 @@ def test_experiment_checkpoint_roundtrip(tmp_path):
     ctrl.train_gp(xi, ti, lr=0.05, iterations=10)
 
     ck = ExperimentCheckpoint(tmp_path)
-    ck.save(epoch=2, ctrl=ctrl, x_train=xi, y_train=ti)
+    rng_save = np.random.default_rng(42)
+    rng_save.integers(100, size=7)  # advance the state
+    runs = {0: {"obs": np.zeros((5, 12)), "action": np.zeros((4, 4)),
+                "inference_time_data": [0.1, 0.2]}}
+    ck.save(epoch=2, ctrl=ctrl, x_train=xi, y_train=ti, rng=rng_save,
+            train_runs=runs, test_runs=runs)
     assert ck.latest_epoch() == 2
 
     ctrl2 = GPMPC(model, env.trajectory, prior, **kw)
-    x_r, y_r, _ = ck.restore(2, ctrl2)
+    rng_load = np.random.default_rng(0)
+    x_r, y_r, tr, te = ck.restore(2, ctrl2, rng=rng_load)
     np.testing.assert_array_equal(x_r, xi)
+    # RNG state restored bit-exactly: next draws match
+    np.testing.assert_array_equal(
+        rng_load.integers(1000, size=5), rng_save.integers(1000, size=5)
+    )
+    # runs restored
+    assert 0 in tr and tr[0]["obs"].shape == (5, 12)
+    assert te[0]["inference_time_data"] == [0.1, 0.2]
     # restored controller must produce the identical action
     obs = np.asarray(env.trajectory[0])
     ctrl.reset()
