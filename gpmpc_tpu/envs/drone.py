@@ -95,6 +95,50 @@ def env_step(
     return EnvState(x=x, t=t, rng=state.rng), x, reward, terminated, truncated
 
 
+def params_to_array(p: QuadrotorParams) -> jax.Array:
+    """QuadrotorParams -> traced (8,) array [a, b, c, d, e, f, h, l]."""
+    return jnp.asarray([p.a, p.b, p.c, p.d, p.e, p.f, p.h, p.l], jnp.float32)
+
+
+def randomize_params(
+    key: jax.Array, base: QuadrotorParams, scale: float = 0.1
+) -> jax.Array:
+    """Per-scenario domain randomization: multiplicative log-normal-ish jitter on
+    every plant coefficient (BASELINE config 3: 'domain-randomized batched
+    rollouts'). Returns a traced (8,) parameter array; vmap over keys for a batch."""
+    base_arr = params_to_array(base)
+    factors = 1.0 + scale * jax.random.truncated_normal(
+        key, -2.0, 2.0, (8,), dtype=base_arr.dtype
+    )
+    return base_arr * factors
+
+
+@partial(jax.jit, static_argnums=0)
+def env_step_dynamic(
+    p: EnvParams, params_arr: jax.Array, state: EnvState, action: jax.Array
+) -> tuple[EnvState, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """`env_step` with the plant coefficients as a traced (8,) array, so a
+    scenario batch can carry per-scenario randomized dynamics (vmap over
+    params_arr). The static `p.params` is ignored in favor of `params_arr`."""
+    dyn = QuadrotorParams(*[params_arr[i] for i in range(8)])
+    fc = partial(quadrotor.continuous_dynamics, params=dyn)
+    sub_dt = p.dt / p.sim_substeps
+    x = state.x
+    for _ in range(p.sim_substeps):
+        x = quadrotor.rk4(fc, x, action, sub_dt)
+    t = state.t + 1
+
+    traj = make_trajectory(p)
+    ref = traj[jnp.mod(t, p.n_steps)]
+    pos_err = jnp.stack([x[0] - ref[0], x[2] - ref[2], x[4] - ref[4]])
+    reward = -jnp.sum(pos_err**2)
+
+    s_low, s_high = quadrotor.state_bounds()
+    terminated = jnp.logical_or(jnp.any(x < 2 * s_low), jnp.any(x > 2 * s_high))
+    truncated = t >= p.n_steps
+    return EnvState(x=x, t=t, rng=state.rng), x, reward, terminated, truncated
+
+
 class DroneFigureEightEnv:
     """Thin stateful wrapper with a gymnasium-like API for script-level use.
 

@@ -34,6 +34,11 @@ def parse_args():
         "--checkpoint-dir", default=None,
         help="save per-epoch checkpoints here and resume from the latest on restart",
     )
+    p.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler device trace of the final evaluation "
+        "(written to <save_dir>/trace, viewable in TensorBoard/xprof)",
+    )
     return p.parse_args()
 
 
@@ -220,7 +225,13 @@ def run():
         trajectory=np.asarray(ctrl.traj),
         save_dir=Path(config.save_dir),
     )
-    trajs_data = run_evaluation(env, ctrl, seed=config.seed + 1, n_steps=n_steps)
+    if args.profile:
+        from gpmpc_tpu.utils.profiling import device_trace
+
+        with device_trace(Path(config.save_dir) / "trace"):
+            trajs_data = run_evaluation(env, ctrl, seed=config.seed + 1, n_steps=n_steps)
+    else:
+        trajs_data = run_evaluation(env, ctrl, seed=config.seed + 1, n_steps=n_steps)
     env.close()
     plot_quad_eval(trajs_data, np.asarray(traj).T, prior_model.dt, Path(config.save_dir))
 

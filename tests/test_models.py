@@ -96,3 +96,36 @@ def test_env_wrapper_api():
     obs, r, term, trunc, _ = env.step(np.array([0.47, 0, 0, 0]))
     assert np.isfinite(r)
     assert env.trajectory.shape == (300, 12)
+
+
+def test_env_step_dynamic_matches_static():
+    from gpmpc_tpu.envs.drone import env_step_dynamic, params_to_array
+
+    p = EnvParams.default()
+    s, obs = env_reset(p, jax.random.PRNGKey(3))
+    a = jnp.array([0.45, 0.02, -0.02, 0.0])
+    s1, o1, r1, t1, _ = env_step(p, s, a)
+    s2, o2, r2, t2, _ = env_step_dynamic(p, params_to_array(p.params), s, a)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(float(r1), float(r2), atol=1e-6)
+
+
+def test_domain_randomized_batch():
+    from gpmpc_tpu.envs.drone import env_step_dynamic, randomize_params
+
+    p = EnvParams.default()
+    B = 5
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    params_b = jax.vmap(lambda k: randomize_params(k, p.params, scale=0.1))(keys)
+    assert params_b.shape == (B, 8)
+    # distinct plants
+    assert np.std(np.asarray(params_b)[:, 0]) > 0
+    states, obs0 = jax.vmap(lambda k: env_reset(p, k))(keys)
+    a = jnp.tile(jnp.array([0.45, 0.0, 0.0, 0.0])[None], (B, 1))
+    _, obs, _, term, _ = jax.vmap(lambda pa, s, aa: env_step_dynamic(p, pa, s, aa))(
+        params_b, states, a
+    )
+    assert np.all(np.isfinite(np.asarray(obs)))
+    # different params -> different vertical acceleration responses
+    dz = np.asarray(obs)[:, 5]
+    assert np.std(dz) > 1e-4

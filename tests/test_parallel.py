@@ -103,3 +103,20 @@ def test_in_jit_gp_training():
     gp = fit(xi, ti, jax.random.PRNGKey(0))
     assert bool(gp.trained)
     assert np.all(np.isfinite(np.asarray(gp.alpha_s)))
+
+
+def test_randomized_episode_batch():
+    from gpmpc_tpu.parallel.batch import batched_episode_randomized
+
+    env, model, ctrl = make_ctrl()
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    ep = jax.jit(
+        lambda c, g, k: batched_episode_randomized(
+            model, ctrl.cfg, env.p, c, g, k, n_steps=6, param_scale=0.1
+        )
+    )(ctrl.consts, ctrl.gp_model, keys)
+    assert ep.obs.shape == (3, 7, 12)
+    assert np.all(np.isfinite(np.asarray(ep.obs)))
+    # distinct plants produce distinct trajectories even from similar starts
+    spread = np.std(np.asarray(ep.obs)[:, -1, 5])
+    assert spread > 1e-5
