@@ -160,6 +160,7 @@ def train_gp_models(
     max_inducing: int,
     n_train: int,
     lr: float,
+    ard: bool = False,
 ) -> GpModel:
     """Fit hypers, factorize posteriors, and build the mean-inducing set — fully
     traceable (works inside one jitted multi-chip training step).
@@ -168,7 +169,10 @@ def train_gp_models(
     defers to reset()/setup_acados_* (gpmpc.py:94-111,166-273), which here is just
     constructing the `GpModel` pytree.
     """
-    hypers, _ = jax.vmap(lambda d: fit_gp(d, n_train=n_train, lr=lr))(data)
+    from gpmpc_tpu.gp.exact_gp import init_hypers
+
+    h0 = init_hypers(data.x.dtype, GP_INPUT_DIM if ard else None)
+    hypers, _ = jax.vmap(lambda d: fit_gp(d, hypers=h0, n_train=n_train, lr=lr))(data)
     hypers = GPHypers(*hypers)
     post = jax.vmap(posterior)(hypers, data)
     M = data.x.shape[1]
@@ -456,10 +460,12 @@ class GPMPC:
         sqp_iters: int = 25,
         qp_iters: int = 15,
         parallel_scan: bool = False,
+        ard_gp: bool = False,
     ):
         if prior_params is None or any(k not in prior_params for k in ("a", "b")):
             raise ValueError("GPMPC requires prior_params to be defined and contain 'a' and 'b'.")
         self.sparse = sparse_gp
+        self.ard_gp = ard_gp  # per-dimension (ARD) lengthscales; reference uses isotropic
         self.output_dir = output_dir
         self.model = symbolic_model
         # Only the thrust-map coefficients are consumed here (the symbolic model
@@ -576,6 +582,7 @@ class GPMPC:
                     max_inducing=self.max_gp_samples if self.sparse else M,
                     n_train=int(iterations),
                     lr=float(lr),
+                    ard=self.ard_gp,
                 )
             )
         self.gp_model = self._train_fns[cache_key](data, sub)

@@ -41,9 +41,14 @@ class GPData(NamedTuple):
 
 
 class GPHypers(NamedTuple):
-    """Raw (unconstrained) hyperparameters, GPyTorch-compatible transforms."""
+    """Raw (unconstrained) hyperparameters, GPyTorch-compatible transforms.
 
-    raw_lengthscale: jax.Array  # scalar
+    `raw_lengthscale` is a scalar for the isotropic kernel (the reference's
+    RBFKernel default) or shape (D,) for ARD (≙ gpytorch ard_num_dims). All
+    kernel call sites broadcast over either shape; with padded input columns the
+    ARD lengthscales of dead dimensions simply receive zero gradient."""
+
+    raw_lengthscale: jax.Array  # scalar or (D,)
     raw_outputscale: jax.Array  # scalar
     raw_noise: jax.Array  # scalar
 
@@ -69,9 +74,10 @@ class GPPosterior(NamedTuple):
     alpha: jax.Array  # (M,) (K + sigma^2 I)^-1 y
 
 
-def init_hypers(dtype=jnp.float32) -> GPHypers:
+def init_hypers(dtype=jnp.float32, ard_dims: int | None = None) -> GPHypers:
     zero = jnp.zeros((), dtype)
-    return GPHypers(raw_lengthscale=zero, raw_outputscale=zero, raw_noise=zero)
+    ell = zero if ard_dims is None else jnp.zeros((ard_dims,), dtype)
+    return GPHypers(raw_lengthscale=ell, raw_outputscale=zero, raw_noise=zero)
 
 
 def _masked_gram(data: GPData, hypers: GPHypers) -> jax.Array:

@@ -23,7 +23,10 @@ from gpmpc_tpu.ops.pallas_ocp import LANES, LanesQp, solve_ocp_qp_lanes
 from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, SqpSolution
 
 
-MAX_LANES_HORIZON = 32  # all-resident kernel fits ~16 MB VMEM up to T=32
+# All-resident kernel VMEM cap. After the accumulating-matmul rewrite (small
+# live temporaries) T=50 compiles and solves on v5e (validated; gap ~1e-7);
+# larger horizons are untested and would fail loudly at compile with a VMEM OOM.
+MAX_LANES_HORIZON = 50
 
 
 def _lane_width(T: int) -> int:

@@ -142,3 +142,20 @@ def test_long_horizon_parallel_scan_controller(env):
     errs = rollout(env, ctrl, n=25)
     assert np.all(np.isfinite(errs))
     assert errs[-5:].mean() < 0.06, errs[-5:]
+
+
+def test_gpmpc_ard_option(env):
+    """ARD lengthscales thread through training, dynamics, and tightening."""
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=True, max_gp_samples=8, seed=0, max_gp_points=32,
+        sqp_iters=2, qp_iters=5, ard_gp=True,
+    )
+    rng = np.random.default_rng(1)
+    ctrl.train_gp(rng.normal(0, 0.3, (16, 7)).astype(np.float32),
+                  rng.normal(0, 0.3, (16, 3)).astype(np.float32), lr=0.05, iterations=20)
+    assert ctrl.gp_model.hypers.raw_lengthscale.shape == (3, 3)  # (GPs, dims)
+    ctrl.reset()
+    u = ctrl.select_action(np.asarray(env.trajectory[0]))
+    assert np.all(np.isfinite(u))

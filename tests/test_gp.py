@@ -138,3 +138,29 @@ def test_select_inducing_subset_of_active():
     idx2, s_mask2 = select_inducing(jax.random.PRNGKey(1), mask, 16)
     assert float(jnp.sum(s_mask2)) == 10
     assert np.all(np.sort(np.asarray(idx2[:10])) == np.arange(10))
+
+
+def test_ard_hypers_fit_and_predict():
+    """ARD (per-dimension) lengthscales: fit runs, padded dims stay inert, and
+    anisotropic data yields anisotropic lengthscales."""
+    rng = np.random.default_rng(5)
+    n, pad_to = 30, 32
+    x = rng.normal(size=(n, 2))
+    # target depends strongly on dim 0, weakly on dim 1
+    y = np.sin(2.0 * x[:, 0]) + 0.05 * x[:, 1] + 0.05 * rng.normal(size=n)
+    X = np.zeros((pad_to, 3)); X[:n, :2] = x
+    Y = np.zeros(pad_to); Y[:n] = y
+    m = np.zeros(pad_to); m[:n] = 1.0
+    data = GPData(x=jnp.asarray(X), y=jnp.asarray(Y), mask=jnp.asarray(m))
+
+    h0 = init_hypers(jnp.float64, ard_dims=3)
+    h, _ = fit_gp(data, hypers=h0, n_train=200, lr=0.05)
+    ell = np.asarray(jax.nn.softplus(h.raw_lengthscale))
+    assert ell.shape == (3,)
+    # padded dim got no gradient -> still at the softplus(0) init
+    np.testing.assert_allclose(ell[2], np.log(2.0), atol=1e-6)  # softplus(0)
+    # strong dimension gets the shorter lengthscale
+    assert ell[0] < ell[1]
+    post = posterior(h, data)
+    pred = predict_mean(h, data, post, data.x[:n])
+    assert np.sqrt(np.mean((np.asarray(pred) - y) ** 2)) < 0.2
