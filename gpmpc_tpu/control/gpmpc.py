@@ -48,6 +48,7 @@ from gpmpc_tpu.gp.exact_gp import (
     GPData,
     GPHypers,
     fit_gp,
+    init_hypers,
     posterior,
 )
 from gpmpc_tpu.gp.kernels import se_kernel
@@ -97,14 +98,20 @@ class GpMpcConsts(NamedTuple):
     dt: jax.Array  # scalar
 
 
-def empty_gp_model(max_points: int, max_inducing: int, dtype=jnp.float32) -> GpModel:
+def empty_gp_model(
+    max_points: int, max_inducing: int, dtype=jnp.float32, ard: bool = False
+) -> GpModel:
     M, Ms = max_points, max_inducing
     zeros3 = jnp.zeros((NUM_GPS,), dtype)
+    # The lengthscale leaf shape must match what train_gp_models will produce —
+    # otherwise the first retrain changes the pytree structure and recompiles the
+    # jitted controller step, breaking the no-recompile invariant.
+    ell0 = jnp.zeros((NUM_GPS, GP_INPUT_DIM), dtype) if ard else zeros3
     return GpModel(
         Z=jnp.zeros((NUM_GPS, M, GP_INPUT_DIM), dtype),
         y=jnp.zeros((NUM_GPS, M), dtype),
         mask=jnp.zeros((NUM_GPS, M), dtype),
-        hypers=GPHypers(zeros3, zeros3, zeros3),
+        hypers=GPHypers(ell0, zeros3, zeros3),
         chol=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
         K_inv=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
         alpha_full=jnp.zeros((NUM_GPS, M), dtype),
@@ -169,8 +176,6 @@ def train_gp_models(
     defers to reset()/setup_acados_* (gpmpc.py:94-111,166-273), which here is just
     constructing the `GpModel` pytree.
     """
-    from gpmpc_tpu.gp.exact_gp import init_hypers
-
     h0 = init_hypers(data.x.dtype, GP_INPUT_DIM if ard else None)
     hypers, _ = jax.vmap(lambda d: fit_gp(d, hypers=h0, n_train=n_train, lr=lr))(data)
     hypers = GPHypers(*hypers)
@@ -528,6 +533,7 @@ class GPMPC:
         self.gp_model = empty_gp_model(
             self.max_gp_points,
             self.max_gp_samples if sparse_gp else self.max_gp_points,
+            ard=ard_gp,
         )
         self.state = mpc_mod.init_state(horizon, nx, symbolic_model.nu)
         self._requires_recompile = False  # API compat: re-jit never needed here.

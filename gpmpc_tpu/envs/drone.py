@@ -75,24 +75,10 @@ def env_step(
     """One control step: integrate the true plant for `sim_substeps` RK4 substeps.
 
     Returns (state, obs, reward, terminated, truncated) — the gymnasium step
-    contract flattened to arrays (≙ run_gp_mpc.py:59-66).
+    contract flattened to arrays (≙ run_gp_mpc.py:59-66). Delegates to
+    `env_step_dynamic` with the static plant coefficients.
     """
-    fc = partial(quadrotor.continuous_dynamics, params=p.params)
-    sub_dt = p.dt / p.sim_substeps
-    x = state.x
-    for _ in range(p.sim_substeps):
-        x = quadrotor.rk4(fc, x, action, sub_dt)
-    t = state.t + 1
-
-    traj = make_trajectory(p)
-    ref = traj[jnp.mod(t, p.n_steps)]
-    pos_err = jnp.stack([x[0] - ref[0], x[2] - ref[2], x[4] - ref[4]])
-    reward = -jnp.sum(pos_err**2)
-
-    s_low, s_high = quadrotor.state_bounds()
-    terminated = jnp.logical_or(jnp.any(x < 2 * s_low), jnp.any(x > 2 * s_high))
-    truncated = t >= p.n_steps
-    return EnvState(x=x, t=t, rng=state.rng), x, reward, terminated, truncated
+    return env_step_dynamic(p, params_to_array(p.params), state, action)
 
 
 def params_to_array(p: QuadrotorParams) -> jax.Array:

@@ -44,9 +44,11 @@ class GPHypers(NamedTuple):
     """Raw (unconstrained) hyperparameters, GPyTorch-compatible transforms.
 
     `raw_lengthscale` is a scalar for the isotropic kernel (the reference's
-    RBFKernel default) or shape (D,) for ARD (≙ gpytorch ard_num_dims). All
-    kernel call sites broadcast over either shape; with padded input columns the
-    ARD lengthscales of dead dimensions simply receive zero gradient."""
+    RBFKernel default) or shape (D,) for ARD (≙ gpytorch ard_num_dims). The jnp
+    kernel call sites broadcast over either shape (with padded input columns the
+    ARD lengthscales of dead dimensions simply receive zero gradient); the fused
+    Pallas posterior kernel (ops/pallas_gp.py) is isotropic-only and rejects
+    (D,) lengthscales explicitly."""
 
     raw_lengthscale: jax.Array  # scalar or (D,)
     raw_outputscale: jax.Array  # scalar

@@ -75,6 +75,11 @@ def gp_mean_var(
     """Posterior mean and variance at N query points, fused on-chip."""
     n, d = z.shape
     m = Z.shape[0]
+    if jnp.ndim(lengthscale) != 0:
+        raise ValueError(
+            "gp_mean_var supports isotropic (scalar) lengthscales only; use the "
+            "jnp reference path (gp_mean_var_reference) for ARD models"
+        )
     n_pad = (-n) % QUERY_TILE
     z_p = jnp.pad(z.astype(jnp.float32), ((0, n_pad), (0, 0)))
     hyp = jnp.stack(

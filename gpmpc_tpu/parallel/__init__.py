@@ -2,6 +2,7 @@ from gpmpc_tpu.parallel.mesh import make_mesh, shard_leading_axis, init_distribu
 from gpmpc_tpu.parallel.batch import (
     batched_gpmpc_step,
     batched_episode,
+    batched_episode_randomized,
     make_batched_controller_step,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "init_distributed",
     "batched_gpmpc_step",
     "batched_episode",
+    "batched_episode_randomized",
     "make_batched_controller_step",
 ]

@@ -87,57 +87,21 @@ def batched_episode(
     keys: jax.Array,  # (B,) PRNG keys
     n_steps: int,
     use_gp: bool = True,
+    param_scale: float | None = None,
 ) -> EpisodeResult:
-    """Full closed-loop episodes for B scenarios as one scanned XLA program."""
+    """Full closed-loop episodes for B scenarios as one scanned XLA program.
 
-    def single_episode(key):
-        env_state, obs0 = drone.env_reset(env_params, key)
-        ctrl_state = mpc_mod.init_state(cfg_horizon(consts), model.nx, model.nu)
-
-        def step(carry, _):
-            env_state, ctrl_state, obs = carry
-            if use_gp:
-                u, ctrl_state, _ = gpmpc_mod.select_action(
-                    model, cfg, consts, gp, ctrl_state, obs
-                )
-            else:
-                u, ctrl_state, _ = mpc_mod.select_action(
-                    model, cfg, consts.mpc, ctrl_state, obs
-                )
-            env_state, obs_next, reward, _, _ = drone.env_step(env_params, env_state, u)
-            return (env_state, ctrl_state, obs_next), (obs_next, u, reward)
-
-        (_, _, _), (obs_path, actions, rewards) = jax.lax.scan(
-            step, (env_state, ctrl_state, obs0), None, length=n_steps
-        )
-        obs_full = jnp.concatenate([obs0[None], obs_path], axis=0)
-        return EpisodeResult(obs=obs_full, actions=actions, rewards=rewards)
-
-    return jax.vmap(single_episode)(keys)
-
-
-def cfg_horizon(consts: GpMpcConsts) -> int:
-    return consts.mpc.uref.shape[0]
-
-
-def batched_episode_randomized(
-    model: SymbolicModel,
-    cfg: SqpConfig,
-    env_params: drone.EnvParams,
-    consts: GpMpcConsts,
-    gp: GpModel,
-    keys: jax.Array,  # (B,) PRNG keys — seed both reset and plant randomization
-    n_steps: int,
-    param_scale: float = 0.1,
-    use_gp: bool = True,
-) -> EpisodeResult:
-    """Domain-randomized closed-loop episodes (BASELINE config 3): every scenario
-    runs against its own perturbed plant coefficients while the controller keeps
-    the shared prior/GP model — the realistic robustness-evaluation setting."""
+    With `param_scale`, every scenario runs against its own randomized plant
+    coefficients (BASELINE config 3: domain-randomized rollouts) while the
+    controller keeps the shared prior/GP model.
+    """
 
     def single_episode(key):
         k_env, k_par = jax.random.split(key)
-        plant = drone.randomize_params(k_par, env_params.params, scale=param_scale)
+        if param_scale is None:
+            plant = drone.params_to_array(env_params.params)
+        else:
+            plant = drone.randomize_params(k_par, env_params.params, scale=param_scale)
         env_state, obs0 = drone.env_reset(env_params, k_env)
         ctrl_state = mpc_mod.init_state(cfg_horizon(consts), model.nx, model.nu)
 
@@ -163,3 +127,25 @@ def batched_episode_randomized(
         return EpisodeResult(obs=obs_full, actions=actions, rewards=rewards)
 
     return jax.vmap(single_episode)(keys)
+
+
+def cfg_horizon(consts: GpMpcConsts) -> int:
+    return consts.mpc.uref.shape[0]
+
+
+def batched_episode_randomized(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    env_params: drone.EnvParams,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    keys: jax.Array,
+    n_steps: int,
+    param_scale: float = 0.1,
+    use_gp: bool = True,
+) -> EpisodeResult:
+    """Domain-randomized episodes — thin wrapper over `batched_episode`."""
+    return batched_episode(
+        model, cfg, env_params, consts, gp, keys, n_steps,
+        use_gp=use_gp, param_scale=param_scale,
+    )

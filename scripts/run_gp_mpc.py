@@ -225,12 +225,15 @@ def run():
         trajectory=np.asarray(ctrl.traj),
         save_dir=Path(config.save_dir),
     )
+    import contextlib
+
     if args.profile:
         from gpmpc_tpu.utils.profiling import device_trace
 
-        with device_trace(Path(config.save_dir) / "trace"):
-            trajs_data = run_evaluation(env, ctrl, seed=config.seed + 1, n_steps=n_steps)
+        trace_ctx = device_trace(Path(config.save_dir) / "trace")
     else:
+        trace_ctx = contextlib.nullcontext()
+    with trace_ctx:
         trajs_data = run_evaluation(env, ctrl, seed=config.seed + 1, n_steps=n_steps)
     env.close()
     plot_quad_eval(trajs_data, np.asarray(traj).T, prior_model.dt, Path(config.save_dir))
