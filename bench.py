@@ -86,6 +86,9 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "512"))
     n_timed_steps = int(os.environ.get("BENCH_STEPS", "10"))
     backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
+    qp_tol = os.environ.get("BENCH_QP_TOL")  # e.g. 1e-7 -> in-kernel adaptive exit
+    if qp_tol:
+        ctrl.cfg = ctrl.cfg._replace(qp_tol=float(qp_tol))
 
     # Closed-loop step: controller solve + plant integration, so every timed
     # solve sees a genuinely new observation (honest steady-state MPC load —

@@ -118,7 +118,7 @@ class LanesQp(NamedTuple):
 
 
 def _ip_kernel_body(
-    n_ip: int, mu0: float, sigma: float, tau: float,
+    n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol,
     # refs: qp data
     A_ref, B_ref, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
     lx_ref, ux_ref, lu_ref, uu_ref,
@@ -126,7 +126,7 @@ def _ip_kernel_body(
     dx_out, du_out, gap_out,
     # scratch
     dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
-    K_s, kff_s, rdyn_s, qhat_s, rhat_s, sigx_s, sigu_s,
+    K_s, kff_s, rdyn_s, qhat_s, rhat_s, sigx_s, sigu_s, mu_s,
 ):
     T = A_ref.shape[0]
     nx = A_ref.shape[1]
@@ -148,7 +148,7 @@ def _ip_kernel_body(
     luu_s[...] = mu0 / suu_s[...]
     m_total = 2.0 * ((T + 1) * nx + T * nu)
 
-    def ip_iter(it, mu):
+    def ip_iter_body(mu):
         dx = dx_s[...]
         du = du_s[...]
         slx, sux, slu, suu = slx_s[...], sux_s[...], slu_s[...], suu_s[...]
@@ -264,8 +264,27 @@ def _ip_kernel_body(
         ) / m_total
         return jnp.maximum(sigma * gap, 1e-12)
 
-    mu = jnp.full((L,), mu0, f32)
-    mu = jax.lax.fori_loop(0, n_ip, ip_iter, mu)
+    if adaptive_tol is None:
+        mu = jax.lax.fori_loop(
+            0, n_ip, lambda it, mu: ip_iter_body(mu), jnp.full((L,), mu0, f32)
+        )
+    else:
+        # Adaptive exit: once every lane's centering parameter is below the
+        # tolerance, remaining iterations are predicated away (pl.when skips the
+        # whole Newton step). n_ip stays the hard cap.
+        mu_s[0, :] = jnp.full((L,), mu0, f32)
+
+        def ip_iter_adaptive(it, _):
+            mu = mu_s[0, :]
+            active = jnp.logical_not(jnp.all(mu <= adaptive_tol))
+
+            @pl.when(active)
+            def _():
+                mu_s[0, :] = ip_iter_body(mu)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_ip, ip_iter_adaptive, 0)
     dx_out[...] = dx_s[...]
     du_out[...] = du_s[...]
     # Final per-lane complementarity gap (solve-quality diagnostic).
@@ -278,7 +297,8 @@ def _ip_kernel_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_ip", "mu0", "sigma", "tau", "interpret")
+    jax.jit,
+    static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "interpret"),
 )
 def solve_ocp_qp_lanes(
     qp: LanesQp,
@@ -286,6 +306,7 @@ def solve_ocp_qp_lanes(
     mu0: float = 1e-1,
     sigma: float = 0.2,
     tau: float = 0.995,
+    adaptive_tol: float | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L),
@@ -298,7 +319,7 @@ def solve_ocp_qp_lanes(
     nu = qp.B.shape[2]
     f32 = jnp.float32
 
-    kernel = functools.partial(_ip_kernel_body, n_ip, mu0, sigma, tau)
+    kernel = functools.partial(_ip_kernel_body, n_ip, mu0, sigma, tau, adaptive_tol)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dx, du, gap = pl.pallas_call(
         kernel,
@@ -327,6 +348,7 @@ def solve_ocp_qp_lanes(
             pltpu.VMEM((T, nu, L), f32),  # rhat
             pltpu.VMEM((T + 1, nx, L), f32),  # sigma_x
             pltpu.VMEM((T, nu, L), f32),  # sigma_u
+            pltpu.VMEM((1, L), f32),  # mu (adaptive-exit carry)
         ],
         interpret=interpret,
     )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)

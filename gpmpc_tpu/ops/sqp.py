@@ -37,6 +37,11 @@ class SqpConfig(NamedTuple):
     # exits at tolerance, max_iter is a cap — and is where warm-started MPC wins:
     # steady-state solves converge in 2-3 iterations.
     early_exit: bool = True
+    # In-kernel adaptive IP exit for the lanes backend: once every lane's
+    # centering parameter drops below this, remaining IP iterations are
+    # predicated away. None = fixed qp_iters count (the XLA backend always runs
+    # the fixed count).
+    qp_tol: float | None = None
 
 
 class OcpCost(NamedTuple):

@@ -125,7 +125,9 @@ def sqp_solve_batch_lanes(
             uu=_to_lane_tiles(pad_b(uu), n_tiles, lanes),
         )
         dx_t, du_t, gap_t = jax.lax.map(
-            lambda t: solve_ocp_qp_lanes(t, n_ip=cfg.qp_iters, interpret=interpret),
+            lambda t: solve_ocp_qp_lanes(
+                t, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol, interpret=interpret
+            ),
             tiles,
         )
         dx = _from_lane_tiles(dx_t, B)  # (B, T+1, nx)

@@ -116,3 +116,21 @@ def test_batched_lanes_step_matches_xla_step():
     np.testing.assert_allclose(
         np.asarray(st_l.X_warm), np.asarray(st_x.X_warm), atol=5e-3
     )
+
+
+def test_lanes_adaptive_exit_matches_fixed():
+    """With a tight tolerance the adaptive-exit kernel matches the fixed-count
+    kernel (it only skips iterations that would be no-ops at convergence)."""
+    d = make_batch(2)
+    qp_lanes = to_lanes(d)
+    dx_f, du_f, gap_f = solve_ocp_qp_lanes(qp_lanes, n_ip=15, interpret=True)
+    dx_a, du_a, gap_a = solve_ocp_qp_lanes(
+        qp_lanes, n_ip=15, adaptive_tol=1e-12, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(du_a), np.asarray(du_f), atol=1e-6)
+    # and with a loose tolerance it still returns a feasible, near-optimal point
+    dx_l, du_l, gap_l = solve_ocp_qp_lanes(
+        qp_lanes, n_ip=15, adaptive_tol=1e-6, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(du_l), np.asarray(du_f), atol=1e-3)
+    assert np.asarray(du_l).max() <= 0.3 + 1e-4
