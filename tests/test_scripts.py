@@ -1,0 +1,27 @@
+"""Script-level smoke tests (subprocess, CPU-forced)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_run_multihost_virtual_smoke():
+    r = run([
+        "scripts/run_multihost.py", "--virtual", "4", "--scenarios", "8",
+        "--steps", "1", "--horizon", "5", "--backend", "xla",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"metric"' in r.stdout and "multihost_4dev" in r.stdout, r.stdout
