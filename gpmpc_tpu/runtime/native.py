@@ -47,6 +47,49 @@ class NativeOcpSolver:
             + [ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float]
             + [f32p] * 2
         )
+        self._lib.gpmpc_native_mpc_solve.restype = ctypes.c_int
+        self._lib.gpmpc_native_mpc_solve.argtypes = (
+            [f32p, ctypes.c_float, ctypes.c_int]
+            + [f32p] * 10
+            + [ctypes.c_int, ctypes.c_int, ctypes.c_float]
+            + [f32p] * 2
+        )
+
+    def mpc_solve(
+        self,
+        params8: np.ndarray,  # quadrotor params [a..l]
+        dt: float,
+        x0: np.ndarray,  # (12,)
+        xref: np.ndarray,  # (T+1, 12)
+        uref: np.ndarray,  # (T, 4)
+        qdiag: np.ndarray,  # (12,)
+        rdiag: np.ndarray,  # (4,)
+        qediag: np.ndarray,  # (12,)
+        lx: np.ndarray, ux: np.ndarray,  # (12,)
+        lu: np.ndarray, uu: np.ndarray,  # (4,)
+        X_warm: np.ndarray,  # (T+1, 12)
+        U_warm: np.ndarray,  # (T, 4)
+        sqp_iters: int = 25,
+        qp_iters: int = 20,
+        step_tol: float = 1e-6,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full nominal-MPC solve on the host — the independent full-stack oracle
+        (dynamics + finite-difference Jacobians + SQP + IP in double precision)."""
+        T = uref.shape[0]
+        f32c = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        X = f32c(X_warm).copy()
+        U = f32c(U_warm).copy()
+        args = [f32c(a) for a in (params8, x0, xref, uref, qdiag, rdiag, qediag, lx, ux, lu, uu)]
+        status = self._lib.gpmpc_native_mpc_solve(
+            args[0].ctypes.data_as(f32p), dt, T,
+            *[a.ctypes.data_as(f32p) for a in args[1:]],
+            sqp_iters, qp_iters, step_tol,
+            X.ctypes.data_as(f32p), U.ctypes.data_as(f32p),
+        )
+        if status != 0:
+            raise RuntimeError(f"native MPC solver failed with status {status}")
+        return X, U
 
     def solve(
         self,

@@ -284,3 +284,165 @@ extern "C" int gpmpc_native_solve_ocp_qp(
   for (int i = 0; i < NU; ++i) du_out[i] = static_cast<float>(w.du[i]);
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Full nominal-MPC solve: quadrotor attitude dynamics + RK4 + finite-difference
+// Jacobians + Gauss-Newton SQP wrapped around the interior-point QP above.
+// This makes the native library a complete, independently-implemented oracle
+// for the whole controller (the role acados plays for the reference), not just
+// the QP layer.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int NX = 12, NU = 4;
+constexpr double GRAV = 9.81;
+
+// Continuous-time attitude-interface quadrotor dynamics (mirrors
+// gpmpc_tpu/models/quadrotor.py::continuous_dynamics; params = [a..l]).
+void quad_fc(const double* p, const double* x, const double* u, double* out) {
+  const double phi = x[6], theta = x[7], psi = x[8];
+  const double acc = p[0] * u[0] + p[1];
+  const double cphi = std::cos(phi), sphi = std::sin(phi);
+  const double cth = std::cos(theta), sth = std::sin(theta);
+  const double cpsi = std::cos(psi), spsi = std::sin(psi);
+  out[0] = x[1];
+  out[1] = acc * (cphi * sth * cpsi + sphi * spsi);
+  out[2] = x[3];
+  out[3] = acc * (cphi * sth * spsi - sphi * cpsi);
+  out[4] = x[5];
+  out[5] = acc * cphi * cth - GRAV;
+  out[6] = x[9];
+  out[7] = x[10];
+  out[8] = x[11];
+  out[9] = p[2] * phi + p[3] * x[9] + p[4] * u[1];
+  out[10] = p[5] * theta + p[6] * x[10] + p[7] * u[2];
+  out[11] = 0.0;
+}
+
+void quad_rk4(const double* p, const double* x, const double* u, double dt,
+              double* out) {
+  double k1[NX], k2[NX], k3[NX], k4[NX], tmp[NX];
+  quad_fc(p, x, u, k1);
+  for (int i = 0; i < NX; ++i) tmp[i] = x[i] + 0.5 * dt * k1[i];
+  quad_fc(p, tmp, u, k2);
+  for (int i = 0; i < NX; ++i) tmp[i] = x[i] + 0.5 * dt * k2[i];
+  quad_fc(p, tmp, u, k3);
+  for (int i = 0; i < NX; ++i) tmp[i] = x[i] + dt * k3[i];
+  quad_fc(p, tmp, u, k4);
+  for (int i = 0; i < NX; ++i)
+    out[i] = x[i] + dt / 6.0 * (k1[i] + 2 * k2[i] + 2 * k3[i] + k4[i]);
+}
+
+// Central finite-difference Jacobians of the discrete dynamics.
+void quad_rk4_jac(const double* p, const double* x, const double* u, double dt,
+                  double* A /*NX*NX*/, double* B /*NX*NU*/) {
+  const double eps = 1e-6;
+  double xp[NX], xm[NX], fp[NX], fm[NX], up[NU], um[NU];
+  for (int j = 0; j < NX; ++j) {
+    std::memcpy(xp, x, sizeof(xp));
+    std::memcpy(xm, x, sizeof(xm));
+    xp[j] += eps;
+    xm[j] -= eps;
+    quad_rk4(p, xp, u, dt, fp);
+    quad_rk4(p, xm, u, dt, fm);
+    for (int i = 0; i < NX; ++i) A[i * NX + j] = (fp[i] - fm[i]) / (2 * eps);
+  }
+  for (int j = 0; j < NU; ++j) {
+    std::memcpy(up, u, sizeof(up));
+    std::memcpy(um, u, sizeof(um));
+    up[j] += eps;
+    um[j] -= eps;
+    quad_rk4(p, x, up, dt, fp);
+    quad_rk4(p, x, um, dt, fm);
+    for (int i = 0; i < NX; ++i) B[i * NU + j] = (fp[i] - fm[i]) / (2 * eps);
+  }
+}
+
+}  // namespace
+
+extern "C" int gpmpc_native_mpc_solve(
+    const float* params8,  // quadrotor params [a..l]
+    float dt, int T,
+    const float* x0,     // NX
+    const float* xref,   // (T+1)*NX
+    const float* uref,   // T*NU
+    const float* qdiag_in,  // NX stage cost diag
+    const float* rdiag_in,  // NU
+    const float* qediag_in, // NX terminal
+    const float* lx_in, const float* ux_in,  // NX global state box
+    const float* lu_in, const float* uu_in,  // NU global input box
+    int sqp_iters, int qp_iters, float step_tol,
+    float* X_out,  // (T+1)*NX  in: warm start / out: solution
+    float* U_out   // T*NU
+) {
+  double p[8];
+  for (int i = 0; i < 8; ++i) p[i] = params8[i];
+  const int NXT = (T + 1) * NX, NUT = T * NU;
+  vector<double> X(NXT), U(NUT);
+  for (int i = 0; i < NXT; ++i) X[i] = X_out[i];
+  for (int i = 0; i < NUT; ++i) U[i] = U_out[i];
+  for (int i = 0; i < NX; ++i) X[i] = x0[i];
+
+  // Stage-scaled diagonal costs (acados cost_scaling: dt per stage, 1 terminal).
+  vector<float> qdiag(NXT), qx(NXT), rdiag(NUT), ru(NUT);
+  vector<float> lx(NXT), ux(NXT), lu(NUT), uu(NUT);
+  vector<float> A_f(T * NX * NX), B_f(T * NX * NU), r_f(T * NX);
+  vector<float> dxs(NXT), dus(NUT);
+  double Aj[NX * NX], Bj[NX * NU], fnext[NX];
+
+  for (int it = 0; it < sqp_iters; ++it) {
+    for (int k = 0; k < T; ++k) {
+      quad_rk4_jac(p, &X[k * NX], &U[k * NU], dt, Aj, Bj);
+      quad_rk4(p, &X[k * NX], &U[k * NU], dt, fnext);
+      for (int i = 0; i < NX * NX; ++i) A_f[k * NX * NX + i] = (float)Aj[i];
+      for (int i = 0; i < NX * NU; ++i) B_f[k * NX * NU + i] = (float)Bj[i];
+      for (int i = 0; i < NX; ++i)
+        r_f[k * NX + i] = (float)(fnext[i] - X[(k + 1) * NX + i]);
+    }
+    for (int k = 0; k <= T; ++k) {
+      const double sc = (k < T) ? dt : 1.0;
+      const float* qd = (k < T) ? qdiag_in : qediag_in;
+      for (int i = 0; i < NX; ++i) {
+        qdiag[k * NX + i] = (float)(sc * qd[i]);
+        qx[k * NX + i] = (float)(sc * qd[i] * (X[k * NX + i] - xref[k * NX + i]));
+        if (k == 0) {  // x0 pinned: disable stage-0 state bounds
+          lx[i] = -1e8f;
+          ux[i] = 1e8f;
+        } else {
+          lx[k * NX + i] = (float)(lx_in[i] - X[k * NX + i]);
+          ux[k * NX + i] = (float)(ux_in[i] - X[k * NX + i]);
+        }
+      }
+    }
+    for (int k = 0; k < T; ++k)
+      for (int i = 0; i < NU; ++i) {
+        rdiag[k * NU + i] = (float)(dt * rdiag_in[i]);
+        ru[k * NU + i] =
+            (float)(dt * rdiag_in[i] * (U[k * NU + i] - uref[k * NU + i]));
+        lu[k * NU + i] = (float)(lu_in[i] - U[k * NU + i]);
+        uu[k * NU + i] = (float)(uu_in[i] - U[k * NU + i]);
+      }
+
+    int st = gpmpc_native_solve_ocp_qp(
+        T, NX, NU, A_f.data(), B_f.data(), r_f.data(), qdiag.data(), qx.data(),
+        rdiag.data(), ru.data(), lx.data(), ux.data(), lu.data(), uu.data(),
+        qp_iters, 1e-1f, 0.2f, 0.995f, dxs.data(), dus.data());
+    if (st != 0) return st;
+
+    double step = 0.0;
+    for (int i = 0; i < NXT; ++i) {
+      X[i] += dxs[i];
+      step = std::max(step, (double)std::abs(dxs[i]));
+    }
+    for (int i = 0; i < NUT; ++i) {
+      U[i] += dus[i];
+      step = std::max(step, (double)std::abs(dus[i]));
+    }
+    for (int i = 0; i < NX; ++i) X[i] = x0[i];
+    if (step < step_tol) break;
+  }
+  for (int i = 0; i < NXT; ++i) X_out[i] = (float)X[i];
+  for (int i = 0; i < NUT; ++i) U_out[i] = (float)U[i];
+  return 0;
+}

@@ -60,3 +60,49 @@ def test_native_respects_bounds(native):
     dx_n, du_n = native.solve(**d, n_ip=20)
     assert du_n.max() <= 0.25 + 1e-5 and du_n.min() >= -0.25 - 1e-5
     assert dx_n[1:].max() <= 1.2 + 1e-4 and dx_n[1:].min() >= -1.2 - 1e-4
+
+
+def test_native_full_mpc_closed_loop_parity(native):
+    """The native full-stack MPC (C++ dynamics + FD Jacobians + SQP + IP) drives
+    the same closed loop as the JAX MPC within the 1e-3 control RMSE bar — a
+    fully independent implementation of the whole controller."""
+    from gpmpc_tpu.control.mpc import MPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models import quadrotor
+    from gpmpc_tpu.models.quadrotor import TRUE_PARAMS
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.envs.drone import params_to_array
+
+    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+    r = [3, 3, 3, 0.1]
+    horizon, n_steps = 15, 10
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=TRUE_PARAMS)
+    ctrl = MPC(model, env.trajectory, q, r, horizon=horizon, sqp_iters=12, qp_iters=15)
+
+    traj = np.asarray(env.trajectory)
+    params8 = np.asarray(params_to_array(TRUE_PARAMS))
+    s_low, s_high = (np.asarray(b) for b in quadrotor.state_bounds())
+    u_low, u_high = (np.asarray(b) for b in quadrotor.input_bounds())
+    uref = np.tile(np.asarray(quadrotor.U_EQ)[None], (horizon, 1))
+
+    obs, _ = env.reset(seed=0)
+    ctrl.reset()
+    X_warm = np.tile(np.asarray(obs)[None], (horizon + 1, 1)).astype(np.float32)
+    U_warm = uref.astype(np.float32)
+    us_jax, us_nat = [], []
+    for step in range(n_steps):
+        u_jax = ctrl.select_action(obs)
+        idx = np.arange(step, step + horizon + 1) % traj.shape[0]
+        X_warm, U_warm = native.mpc_solve(
+            params8, 0.02, np.asarray(obs), traj[idx], uref,
+            np.asarray(q), np.asarray(r), np.asarray(q),
+            s_low, s_high, u_low, u_high,
+            X_warm, U_warm, sqp_iters=12, qp_iters=15,
+        )
+        us_jax.append(u_jax)
+        us_nat.append(U_warm[0].copy())
+        obs, _, _, _, _ = env.step(u_jax)
+
+    rmse = np.sqrt(np.mean((np.asarray(us_jax) - np.asarray(us_nat)) ** 2))
+    assert rmse <= 1e-3, f"native vs JAX full-MPC control RMSE {rmse}"
