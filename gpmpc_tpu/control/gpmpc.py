@@ -601,6 +601,12 @@ class GPMPC:
         this design makes unnecessary."""
         self.state = mpc_mod.init_state(self.T, self.model.nx, self.model.nu)
 
+    def reference_trajectory(self) -> np.ndarray:
+        """Reference window at the current step, (nx, T+1). ≙ gpmpc.py:509-514."""
+        return np.asarray(
+            mpc_mod.reference_window(self.consts.mpc.traj, self.state.traj_step, self.T)
+        ).T
+
     def select_action(self, obs) -> np.ndarray:
         obs = jnp.asarray(obs, jnp.float32)
         u, self.state, self._last_info = self._step(self.consts, self.gp_model, self.state, obs)

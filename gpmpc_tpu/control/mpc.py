@@ -181,6 +181,12 @@ class MPC:
         """≙ MPC.reset (mpc.py:60-63)."""
         self.state = init_state(self.T, self.model.nx, self.model.nu)
 
+    def reference_trajectory(self) -> np.ndarray:
+        """Reference window at the current step, (nx, T+1). ≙ mpc.py:188-193."""
+        return np.asarray(
+            reference_window(self.consts.traj, self.state.traj_step, self.T)
+        ).T
+
     def select_action(self, obs) -> np.ndarray:
         obs = jnp.asarray(obs, jnp.float32)
         u, self.state, self._last_info = self._step(self.consts, self.state, obs)

@@ -164,3 +164,29 @@ def test_ard_hypers_fit_and_predict():
     post = posterior(h, data)
     pred = predict_mean(h, data, post, data.x[:n])
     assert np.sqrt(np.mean((np.asarray(pred) - y) ** 2)) < 0.2
+
+
+def test_compat_surface_matches_reference_semantics():
+    """The reference-API shim (gp/compat.py): covSE kernels, GaussianProcess
+    construct->fit->predict, K/K_inv caches."""
+    from gpmpc_tpu.gp.compat import GaussianProcess as CompatGP
+    from gpmpc_tpu.gp.compat import covSE_single, covSE_vectorized
+    from gpmpc_tpu.gp.compat import fit_gp as compat_fit
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(15, 2)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+
+    gp = CompatGP(x, y)
+    assert gp.n_ind_points == 15 and gp.input_dimension == 2
+    compat_fit(gp, n_train=150, lr=0.05)
+    assert gp.K.shape == (15, 15) and gp.K_inv is not None
+    mean, var = gp.predict(x[:5], include_noise=False)
+    assert np.sqrt(np.mean((mean - y[:5]) ** 2)) < 0.25
+    assert np.all(var >= 0)
+
+    # kernels: covSE_single uses the (d, n) CasADi column convention
+    k1 = np.asarray(covSE_single(x[0], x[:6].T, 1.0, 2.0))
+    k2 = np.asarray(covSE_vectorized(x[0], x[:6], 1.0, 2.0))
+    np.testing.assert_allclose(k1, k2, atol=1e-6)
+    assert k1[0] == np.float32(2.0)  # k(x, x) = sf2
