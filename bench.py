@@ -40,46 +40,24 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from gpmpc_tpu.control import gpmpc as gpmpc_mod
     from gpmpc_tpu.control import mpc as mpc_mod
-    from gpmpc_tpu.control.gpmpc import GPMPC, pack_training_data, train_gp_models
+    from gpmpc_tpu.control.gpmpc import GPMPC
     from gpmpc_tpu.envs.drone import DroneFigureEightEnv
     from gpmpc_tpu.models.symbolic import symbolic_attitude
     from gpmpc_tpu.parallel.batch import batched_gpmpc_step
+    from gpmpc_tpu.utils.benchkit import Q_MPC, R_MPC, reference_prior_dict, synthetic_gp_model
 
-    prior_params = {
-        "a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
-        "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653,
-    }
+    prior_params = reference_prior_dict()
     env = DroneFigureEightEnv()
     model = symbolic_attitude(dt=0.02, params=prior_params)
-    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
-    r = [3, 3, 3, 0.1]
     ctrl = GPMPC(
-        model, env.trajectory, prior_params, horizon=25, q_mpc=q, r_mpc=r,
+        model, env.trajectory, prior_params, horizon=25, q_mpc=Q_MPC, r_mpc=R_MPC,
         sparse_gp=True, prob=0.95, max_gp_samples=40, seed=1,
         max_gp_points=128, sqp_iters=6, qp_iters=10,
     )
-
-    # Train the GPs on a synthetic residual dataset of the reference's scale so the
-    # bench exercises the real augmented dynamics + tightening path.
-    rng = np.random.default_rng(0)
-    n_data = 60
-    x7 = np.zeros((n_data, 7), np.float32)
-    x7[:, 0] = rng.uniform(0.2, 0.5, n_data)  # thrust
-    x7[:, 1:] = rng.normal(0, 0.2, (n_data, 6))
-    y3 = np.stack(
-        [
-            4.0 + 0.5 * np.sin(5 * x7[:, 0]) + 0.01 * rng.normal(size=n_data),
-            0.1 * x7[:, 1] + 0.01 * rng.normal(size=n_data),
-            0.1 * x7[:, 4] + 0.01 * rng.normal(size=n_data),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    data = pack_training_data(jnp.asarray(x7), jnp.asarray(y3), ctrl.max_gp_points)
-    gp = jax.jit(
-        lambda d, k: train_gp_models(d, k, sparse=True, max_inducing=40, n_train=50, lr=0.05)
-    )(data, jax.random.PRNGKey(0))
+    # Train the GPs on a synthetic residual dataset at the reference's scale so
+    # the bench exercises the real augmented dynamics + tightening path.
+    gp = synthetic_gp_model(max_points=128, max_inducing=40, n_train=50)
 
     from gpmpc_tpu.envs import drone
 

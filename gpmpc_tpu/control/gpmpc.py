@@ -76,7 +76,6 @@ class GpModel(NamedTuple):
     y: jax.Array  # (3, M)
     mask: jax.Array  # (3, M)
     hypers: GPHypers  # leaves shaped (3,)
-    chol: jax.Array  # (3, M, M) Cholesky of K + sigma^2 I
     K_inv: jax.Array  # (3, M, M) explicit inverse — turns per-step predictive
     # variance into pure GEMMs (MXU) instead of batched triangular solves; computed
     # once per training (≙ compute_covariances, gp.py:43-46, where the reference's
@@ -112,7 +111,6 @@ def empty_gp_model(
         y=jnp.zeros((NUM_GPS, M), dtype),
         mask=jnp.zeros((NUM_GPS, M), dtype),
         hypers=GPHypers(ell0, zeros3, zeros3),
-        chol=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
         K_inv=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
         alpha_full=jnp.zeros((NUM_GPS, M), dtype),
         Zs=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
@@ -196,7 +194,7 @@ def train_gp_models(
 
     return GpModel(
         Z=data.x, y=data.y, mask=data.mask,
-        hypers=hypers, chol=post.chol, K_inv=K_inv, alpha_full=post.alpha,
+        hypers=hypers, K_inv=K_inv, alpha_full=post.alpha,
         Zs=Zs, alpha_s=alpha_s, trained=jnp.asarray(True),
     )
 
@@ -501,9 +499,11 @@ class GPMPC:
 
         # Chance-constraint quantile (gpmpc.py:63-65).
         nx = symbolic_model.nx
-        from scipy.stats import norm
-
-        inverse_cdf = norm.ppf(1 - (1 / nx - (prob + 1) / (2 * nx)))
+        # jax.scipy keeps the core install scipy-free (ops/linalg.py already
+        # guards its optional scipy use).
+        inverse_cdf = float(
+            jax.scipy.stats.norm.ppf(1 - (1 / nx - (prob + 1) / (2 * nx)))
+        )
 
         # Prior linearization at equilibrium -> exact discretization + LQR gain
         # (gpmpc.py:81-86,500-507).

@@ -8,13 +8,15 @@ and the distance/exp/mask work fuses into the same kernel instead of separate HB
 round-trips.
 
 Uses the explicit K_inv = (K + sigma^2 I)^-1 cache (computed once per GP training,
-≙ GaussianProcess.compute_covariances at /root/reference/gpmpc/gp.py:43-46 — the
-one place where the reference's dense-inverse quirk is actually the right call on
-TPU: it converts the per-step triangular solves of the tightening path into pure
-GEMMs).
+≙ GaussianProcess.compute_covariances at /root/reference/gpmpc/gp.py:43-46).
 
-The kernel is inference-only (no AD); the in-dynamics residual mean keeps the jnp
-path, which must be differentiable for the SQP linearizer.
+Wiring status: the controller's tightening path currently computes the same
+K_inv-based variance with a plain jnp einsum inside its vmapped step (XLA fuses
+that well); this standalone fused kernel serves large standalone inference
+workloads (many query points against one GP) and is parity-locked against the
+jnp path by tests/test_pallas_gp.py. It is inference-only (no AD); the
+in-dynamics residual mean keeps the jnp path, which must be differentiable for
+the SQP linearizer.
 """
 
 from __future__ import annotations

@@ -308,7 +308,7 @@ def solve_ocp_qp_lanes(
     tau: float = 0.995,
     adaptive_tol: float | None = None,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L),
     gap (L,) final complementarity gap per lane).
 
@@ -353,20 +353,3 @@ def solve_ocp_qp_lanes(
         interpret=interpret,
     )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
     return dx, du, gap[0]
-
-
-def pack_lanes(batch_arrays, lanes: int = LANES):
-    """Move a leading batch axis to trailing lanes, padding B up to a multiple.
-
-    (B, ...) -> list over tiles of (..., lanes). Returns (tiles, n_tiles, B).
-    """
-    import numpy as np  # noqa: F401
-
-    def to_lanes(a):
-        B = a.shape[0]
-        pad = (-B) % lanes
-        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-        a = jnp.moveaxis(a, 0, -1)  # (..., B+pad)
-        return a.reshape(a.shape[:-1] + ((B + pad) // lanes, lanes))
-
-    return jax.tree.map(to_lanes, batch_arrays)

@@ -1,0 +1,62 @@
+"""Shared helpers for benchmarks and entry points.
+
+Consolidates the reference prior-parameter dict (single source of truth:
+models/quadrotor.PRIOR_PARAMS ≙ scripts/gp_mpc_config.yaml:9-17 of the reference)
+and the synthetic residual dataset + trained GpModel used by bench.py,
+scripts/bench_scaling.py, scripts/run_multihost.py, and __graft_entry__.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.models.quadrotor import PRIOR_PARAMS
+
+Q_MPC = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+R_MPC = [3, 3, 3, 0.1]
+
+
+def reference_prior_dict() -> dict:
+    """The reference config's prior-parameter dict (gp_mpc_config.yaml:9-17)."""
+    return dict(zip("abcdefhl", PRIOR_PARAMS))
+
+
+def synthetic_residual_dataset(n: int = 60, seed: int = 0):
+    """A plausible GP residual dataset at the reference's scale: a thrust-map
+    deficit of ~4 m/s^2 plus small attitude-rate residuals (matches what the
+    learning loop actually produces; see preprocess_data)."""
+    rng = np.random.default_rng(seed)
+    x7 = np.zeros((n, 7), np.float32)
+    x7[:, 0] = rng.uniform(0.2, 0.5, n)  # thrust command
+    x7[:, 1:] = rng.normal(0, 0.2, (n, 6))
+    y3 = np.stack(
+        [
+            4.0 + 0.5 * np.sin(5 * x7[:, 0]) + 0.01 * rng.normal(size=n),
+            0.1 * x7[:, 1] + 0.01 * rng.normal(size=n),
+            0.1 * x7[:, 4] + 0.01 * rng.normal(size=n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return x7, y3
+
+
+def synthetic_gp_model(
+    max_points: int = 128,
+    max_inducing: int = 40,
+    n_data: int = 60,
+    n_train: int = 30,
+    seed: int = 0,
+):
+    """Train a GpModel on the synthetic dataset (jitted; cached per shapes)."""
+    from gpmpc_tpu.control.gpmpc import pack_training_data, train_gp_models
+
+    x7, y3 = synthetic_residual_dataset(n_data, seed)
+    data = pack_training_data(jnp.asarray(x7), jnp.asarray(y3), max_points)
+    fit = jax.jit(
+        lambda d, k: train_gp_models(
+            d, k, sparse=True, max_inducing=max_inducing, n_train=n_train, lr=0.05
+        )
+    )
+    return fit(data, jax.random.PRNGKey(seed))

@@ -45,26 +45,15 @@ def main():
     except Exception:
         pass
 
-    prior = {"a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
-             "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653}
-    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
-    r = [3, 3, 3, 0.1]
+    from gpmpc_tpu.utils.benchkit import Q_MPC as q, R_MPC as r, reference_prior_dict, synthetic_gp_model
+
+    prior = reference_prior_dict()
     env = DroneFigureEightEnv()
-    rng = np.random.default_rng(0)
 
     def make_gp(n_data, max_points, max_inducing):
-        x7 = np.zeros((n_data, 7), np.float32)
-        x7[:, 0] = rng.uniform(0.2, 0.5, n_data)
-        x7[:, 1:] = rng.normal(0, 0.2, (n_data, 6))
-        y3 = np.stack(
-            [4 + 0.5 * np.sin(5 * x7[:, 0]), 0.1 * x7[:, 1], 0.1 * x7[:, 4]], 1
-        ).astype(np.float32)
-        data = pack_training_data(jnp.asarray(x7), jnp.asarray(y3), max_points)
-        return jax.jit(
-            lambda d, k: train_gp_models(
-                d, k, sparse=True, max_inducing=max_inducing, n_train=20, lr=0.05
-            )
-        )(data, jax.random.PRNGKey(0))
+        return synthetic_gp_model(
+            max_points=max_points, max_inducing=max_inducing, n_data=n_data, n_train=20
+        )
 
     def run_case(name, horizon, B, backend, gp, model, ctrl, steps):
         from gpmpc_tpu.ops.sqp_lanes import MAX_LANES_HORIZON

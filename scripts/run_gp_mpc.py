@@ -123,6 +123,18 @@ def learn(
             start_epoch = latest + 1
             print(f"resumed from checkpoint epoch {latest} ({x_train.shape[0]} samples)")
         else:  # runs missing (old/partial checkpoint): restart cleanly
+            import jax as _jax
+
+            from gpmpc_tpu.control.gpmpc import empty_gp_model
+
+            # Undo the partial restore so the restart is bit-identical to a
+            # fresh run with the same seed.
+            ctrl.gp_model = empty_gp_model(
+                ctrl.max_gp_points,
+                ctrl.max_gp_samples if ctrl.sparse else ctrl.max_gp_points,
+                ard=ctrl.ard_gp,
+            )
+            ctrl._gp_key = _jax.random.PRNGKey(seed)
             x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
             rng = np.random.default_rng(seed)
             eval_seed = int(rng.integers(np.iinfo(np.int32).max))

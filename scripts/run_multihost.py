@@ -68,23 +68,15 @@ def main():
     shard = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
-    prior = {"a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
-             "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653}
-    q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
-    r = [3, 3, 3, 0.1]
+    from gpmpc_tpu.utils.benchkit import Q_MPC as q, R_MPC as r, reference_prior_dict, synthetic_gp_model
+
+    prior = reference_prior_dict()
     env = DroneFigureEightEnv()
     model = symbolic_attitude(dt=0.02, params=prior)
     ctrl = GPMPC(model, env.trajectory, prior, horizon=args.horizon, q_mpc=q, r_mpc=r,
                  sparse_gp=True, max_gp_samples=40, seed=1, max_gp_points=128,
                  sqp_iters=6, qp_iters=10)
-    rng = np.random.default_rng(0)
-    x7 = np.zeros((60, 7), np.float32)
-    x7[:, 0] = rng.uniform(0.2, 0.5, 60)
-    x7[:, 1:] = rng.normal(0, 0.2, (60, 6))
-    y3 = np.stack([4 + 0.5 * np.sin(5 * x7[:, 0]), 0.1 * x7[:, 1], 0.1 * x7[:, 4]], 1).astype(np.float32)
-    gp = jax.jit(lambda d, k: train_gp_models(d, k, sparse=True, max_inducing=40, n_train=20, lr=0.05))(
-        pack_training_data(jnp.asarray(x7), jnp.asarray(y3), 128), jax.random.PRNGKey(0)
-    )
+    gp = synthetic_gp_model(max_points=128, max_inducing=40, n_train=20)
 
     env_p = env.p
     traj = env.trajectory
