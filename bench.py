@@ -67,6 +67,12 @@ def main():
     qp_tol = os.environ.get("BENCH_QP_TOL")  # e.g. 1e-7 -> in-kernel adaptive exit
     if qp_tol:
         ctrl.cfg = ctrl.cfg._replace(qp_tol=float(qp_tol))
+    if os.environ.get("BENCH_ANALYTIC_JAC", "0") == "1":
+        # analytic dynamics Jacobians (models/jacobians.py). Measured SLOWER on
+        # TPU at B=512 (19.9k vs 30.8k solves/s): the RK4 Jacobian chain's 12x12
+        # matmuls hit XLA's batched-small-matmul weakness, while jacfwd's
+        # elementwise tangents vectorize well. Kept for CPU/host paths.
+        ctrl.cfg = ctrl.cfg._replace(analytic_jac=True)
 
     # Closed-loop step: controller solve + plant integration, so every timed
     # solve sees a genuinely new observation (honest steady-state MPC load —

@@ -427,9 +427,15 @@ def batched_select_action_lanes(
         lambda s, o: prepare_step(model, consts, gp, s, o)
     )(states, obs)
     fd = partial(augmented_fd, model, gp)
+    fd_jac3 = None
+    if cfg.analytic_jac and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
+        # isotropic GP kernels only; the ARD shape falls back to jacfwd
+        from gpmpc_tpu.models.jacobians import make_augmented_fd_jac
+
+        fd_jac3 = make_augmented_fd_jac(model, gp)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     sol = sqp_solve_batch_lanes(
-        fd, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret
+        fd, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret, fd_jac3=fd_jac3
     )
     new_states = MpcState(
         traj_step=states.traj_step + 1, X_warm=sol.X, U_warm=sol.U

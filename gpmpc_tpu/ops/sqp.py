@@ -42,6 +42,9 @@ class SqpConfig(NamedTuple):
     # predicated away. None = fixed qp_iters count (the XLA backend always runs
     # the fixed count).
     qp_tol: float | None = None
+    # Use analytic dynamics Jacobians (models/jacobians.py) instead of jacfwd in
+    # the lanes backend; isotropic-GP models only (falls back otherwise).
+    analytic_jac: bool = False
 
 
 class OcpCost(NamedTuple):

@@ -65,8 +65,13 @@ def sqp_solve_batch_lanes(
     U_init: jax.Array,  # (B, T, nu)
     cfg: SqpConfig,
     interpret: bool = False,
+    fd_jac3=None,
 ) -> SqpSolution:
-    """Batch SQP solve; returns SqpSolution with leaves batched over B."""
+    """Batch SQP solve; returns SqpSolution with leaves batched over B.
+
+    fd_jac3: optional (x, u) -> (fnext, A, B) combined evaluator (analytic
+    Jacobians, models/jacobians.py); default differentiates fd with jacfwd.
+    """
     B, Tp1, nx = X_init.shape
     T = Tp1 - 1
     nu = U_init.shape[2]
@@ -84,8 +89,15 @@ def sqp_solve_batch_lanes(
     )  # (T+1, nx)
     rdiag = scale[:-1, None] * r_diag[None]  # (T, nu)
 
-    fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
-    fd_batch = jax.vmap(jax.vmap(fd))
+    if fd_jac3 is None:
+        fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
+        fd_batch = jax.vmap(jax.vmap(fd))
+
+        def linearize(X, U):
+            A, Bm = fd_jac(X, U)
+            return fd_batch(X, U), A, Bm
+    else:
+        linearize = jax.vmap(jax.vmap(fd_jac3))
 
     def pad_b(x):
         return jnp.pad(x, [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1))
@@ -96,8 +108,8 @@ def sqp_solve_batch_lanes(
         X, U, converged, step_norm, qp_gap, n_iters = carry
         X = X.at[:, 0, :].set(x0)
 
-        A, Bm = fd_jac(X[:, :-1], U)  # (B, T, nx, nx), (B, T, nx, nu)
-        defect = fd_batch(X[:, :-1], U) - X[:, 1:]
+        fnext, A, Bm = linearize(X[:, :-1], U)  # (B,T,nx), (B,T,nx,nx), (B,T,nx,nu)
+        defect = fnext - X[:, 1:]
 
         ex = X - cost.xref
         eu = U - cost.uref

@@ -134,3 +134,38 @@ def test_lanes_adaptive_exit_matches_fixed():
     )
     np.testing.assert_allclose(np.asarray(du_l), np.asarray(du_f), atol=1e-3)
     assert np.asarray(du_l).max() <= 0.3 + 1e-4
+
+
+def test_lanes_analytic_jac_matches_jacfwd_path():
+    """The analytic-Jacobian linearizer produces the same batched GP-MPC actions
+    as the jacfwd path."""
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+
+    prior = {"a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
+             "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653}
+    env = DroneFigureEightEnv(EnvParams.default()._replace(n_steps=64, traj_amplitude=0.1))
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(model, env.trajectory, prior, horizon=6, q_mpc=[8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001],
+                 r_mpc=[3, 3, 3, 0.1], sparse_gp=True, max_gp_samples=8, seed=0,
+                 max_gp_points=32, sqp_iters=2, qp_iters=6)
+    rng = np.random.default_rng(0)
+    ctrl.train_gp(rng.normal(0, 0.3, (16, 7)).astype(np.float32),
+                  rng.normal(0, 0.3, (16, 3)).astype(np.float32), lr=0.05, iterations=10)
+
+    Bn = 2
+    obs = jnp.asarray(
+        np.asarray(env.trajectory[0])[None] + 0.01 * rng.normal(size=(Bn, 12)), jnp.float32
+    )
+    states = jax.vmap(lambda _: mpc_mod.init_state(6, 12, 4))(jnp.arange(Bn))
+    u_j, _, _ = gpmpc_mod.batched_select_action_lanes(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model, states, obs, interpret=True
+    )
+    cfg_a = ctrl.cfg._replace(analytic_jac=True)
+    u_a, _, _ = gpmpc_mod.batched_select_action_lanes(
+        model, cfg_a, ctrl.consts, ctrl.gp_model, states, obs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_j), atol=5e-5)
