@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, fields
 from datetime import datetime
+from itertools import chain, count
 from pathlib import Path
 from typing import Any
 
@@ -114,12 +115,21 @@ def load_config(path: str | Path, make_save_dir: bool = True) -> Config:
 
 
 def mkdir_date(path: Path) -> Path:
-    """Unique timestamped results directory (≙ run_gp_mpc.py:192-209)."""
-    assert path.is_dir(), f"Path {path} is not a directory"
-    save_dir = path / datetime.now().strftime("%Y_%m_%d_%H_%M")
-    t = 1
-    while save_dir.is_dir():
-        save_dir = path / (datetime.now().strftime("%Y_%m_%d_%H_%M") + f"_({t})")
-        t += 1
-    save_dir.mkdir(parents=True)
-    return save_dir
+    """Create and return a fresh timestamped results directory under `path`.
+
+    Fills the role of the reference's timestamped save-dir scheme
+    (run_gp_mpc.py:192-209) with the same name format (minute-resolution
+    timestamp, `_(k)` suffix on collision), but claims the directory with an
+    exclusive mkdir so two runs started in the same minute can never race into
+    sharing one directory.
+    """
+    if not path.is_dir():
+        raise NotADirectoryError(f"save root {path} is not a directory")
+    stamp = datetime.now().strftime("%Y_%m_%d_%H_%M")
+    for suffix in chain([""], (f"_({k})" for k in count(1))):
+        candidate = path / f"{stamp}{suffix}"
+        try:
+            candidate.mkdir()
+        except FileExistsError:
+            continue
+        return candidate

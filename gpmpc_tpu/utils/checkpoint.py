@@ -70,11 +70,20 @@ def load_metadata(path: Path) -> dict[str, Any]:
 
 
 def save_runs(path: Path, runs: dict[int, dict]):
-    """Persist {epoch: episode_data} dicts (obs/action/reward arrays + timing)."""
+    """Persist {epoch: episode_data} dicts (obs/action/reward arrays + timing).
+
+    One level of dict nesting (e.g. the per-step `controller_data` diagnostics)
+    is flattened into dotted keys so every stored value is a plain array —
+    never a pickled object array.
+    """
     arrays: dict[str, np.ndarray] = {}
     for epoch, run in runs.items():
         for key, val in run.items():
-            arrays[f"{epoch}|{key}"] = np.asarray(val)
+            if isinstance(val, dict):
+                for sub, sub_val in val.items():
+                    arrays[f"{epoch}|{key}.{sub}"] = np.asarray(sub_val)
+            else:
+                arrays[f"{epoch}|{key}"] = np.asarray(val)
     np.savez(str(path) + ".npz", **arrays)
 
 
@@ -85,7 +94,14 @@ def load_runs(path: Path) -> dict[int, dict]:
             epoch_s, key = name.split("|", 1)
             run = runs.setdefault(int(epoch_s), {})
             val = data[name]
-            run[key] = list(val) if key == "inference_time_data" else val
+            if "." in key:
+                outer, sub = key.split(".", 1)
+                run.setdefault(outer, {})[sub] = val
+            else:
+                run[key] = list(val) if key == "inference_time_data" else val
+    # Episodes recorded without any controller diagnostics still need the key.
+    for run in runs.values():
+        run.setdefault("controller_data", {})
     return runs
 
 

@@ -34,6 +34,8 @@ def parse_args():
         "--checkpoint-dir", default=None,
         help="save per-epoch checkpoints here and resume from the latest on restart",
     )
+    p.add_argument("--epochs", type=int, default=None, help="override run.num_epochs")
+    p.add_argument("--steps", type=int, default=None, help="override episode length")
     p.add_argument(
         "--profile", action="store_true",
         help="capture a jax.profiler device trace of the final evaluation "
@@ -45,11 +47,15 @@ def parse_args():
 def run_evaluation(env, ctrl, seed: int, n_steps: int) -> dict:
     """One evaluation episode with per-step inference timing.
 
-    ≙ run_evaluation, run_gp_mpc.py:42-72.
+    ≙ run_evaluation, run_gp_mpc.py:42-72, plus a populated `controller_data`
+    field: the reference declares it but appends nothing (run_gp_mpc.py:51,70);
+    here it carries real per-step solver diagnostics (SQP step norm, final QP
+    complementarity gap, SQP iteration count) from the controller's last solve.
     """
     import numpy as np
 
     episode_data = defaultdict(list)
+    ctrl_data = defaultdict(list)
     ctrl.reset()
     obs, _ = env.reset(seed=seed)
     episode_data["obs"].append(np.asarray(obs))
@@ -59,6 +65,13 @@ def run_evaluation(env, ctrl, seed: int, n_steps: int) -> dict:
         t0 = time.perf_counter()
         action = ctrl.select_action(obs)
         inference_time_data.append(time.perf_counter() - t0)
+        info = getattr(ctrl, "_last_info", None)
+        if info is not None:
+            ctrl_data["step_norm"].append(float(info.step_norm))
+            ctrl_data["qp_gap"].append(float(info.qp_gap))
+            ctrl_data["n_iters"].append(int(info.n_iters))
+            if hasattr(info, "clamp_frac"):
+                ctrl_data["tightening_clamp_frac"].append(float(info.clamp_frac))
         obs, reward, terminated, truncated, _ = env.step(action)
         step_data = {
             "obs": np.asarray(obs), "action": np.asarray(action),
@@ -69,6 +82,7 @@ def run_evaluation(env, ctrl, seed: int, n_steps: int) -> dict:
         if terminated or truncated:
             break
     out = {k: np.array(v) for k, v in episode_data.items()}
+    out["controller_data"] = {k: np.asarray(v) for k, v in ctrl_data.items()}
     out["inference_time_data"] = inference_time_data
     return out
 
@@ -84,6 +98,29 @@ def sample_data(data, n_samples: int, rng):
     return obs[idx], actions[idx], obs[idx + 1]
 
 
+def episode_seed_plan(seed: int, n_epochs: int):
+    """Derive (rng, eval_seed, per-epoch episode seeds) from the master seed.
+
+    Contract (the reference's reproducibility goal, run_gp_mpc.py:98-105):
+    epoch k's seed depends on the master seed alone, never on n_epochs, and all
+    epoch seeds are distinct. The reference pre-draws a fixed 1e6-entry
+    without-replacement table and truncates it; here the same contract costs
+    O(n_epochs) and extends past 1e6 epochs: epoch seeds are an affine
+    bijection k -> (a*k + b) mod 2**31 with a seed-derived odd multiplier
+    (invertible mod a power of two, so distinctness is structural).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    int32_max = np.iinfo(np.int32).max
+    eval_seed = int(rng.integers(int32_max))
+    mult = (int(rng.integers(1 << 30)) << 1) | 1  # odd => bijective mod 2**31
+    offset = int(rng.integers(1 << 31))
+    k = np.arange(n_epochs + 1, dtype=np.uint64)
+    table = ((mult * k + offset) % (1 << 31)).astype(np.int64)
+    return rng, eval_seed, table
+
+
 def learn(
     n_epochs, ctrl, env, lr, gp_iterations, seed, samples_per_epoch, n_steps,
     checkpoint_dir=None,
@@ -97,14 +134,10 @@ def learn(
     import numpy as np
 
     from gpmpc_tpu.utils.checkpoint import ExperimentCheckpoint
+    from gpmpc_tpu.utils.profiling import PhaseTimer
 
     train_runs, test_runs = {}, {}
-    rng = np.random.default_rng(seed)
-    eval_seed = int(rng.integers(np.iinfo(np.int32).max))
-    # Reproducibility-invariance across epoch counts (≙ run_gp_mpc.py:98-105):
-    # draw a fixed-size seed table and consume the first n_epochs + 1 entries.
-    assert n_epochs < int(1e6)
-    epoch_seeds = rng.choice(np.iinfo(np.int32).max, size=int(1e6), replace=False)[: n_epochs + 1]
+    rng, eval_seed, epoch_seeds = episode_seed_plan(seed, n_epochs)
 
     ckpt = ExperimentCheckpoint(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 1
@@ -136,40 +169,46 @@ def learn(
             )
             ctrl._gp_key = _jax.random.PRNGKey(seed)
             x_train, y_train = np.zeros((0, 7)), np.zeros((0, 3))
-            rng = np.random.default_rng(seed)
-            eval_seed = int(rng.integers(np.iinfo(np.int32).max))
-            epoch_seeds = rng.choice(
-                np.iinfo(np.int32).max, size=int(1e6), replace=False
-            )[: n_epochs + 1]
+            rng, eval_seed, epoch_seeds = episode_seed_plan(seed, n_epochs)
             print("checkpoint incomplete; restarting from epoch 1")
 
     if not resumed:
         train_runs[0] = run_evaluation(env, ctrl.prior_ctrl, int(epoch_seeds[0]), n_steps)
         test_runs[0] = run_evaluation(env, ctrl.prior_ctrl, eval_seed, n_steps)
 
+    try:  # epoch progress bar (≙ run_gp_mpc.py:107,135); plain loop if absent
+        from tqdm import tqdm
+    except ImportError:
+        tqdm = None
+    progress = tqdm(total=n_epochs, initial=start_epoch - 1,
+                    desc="GP-MPC", dynamic_ncols=True) if tqdm else None
+
     for epoch in range(start_epoch, n_epochs + 1):
+        timer = PhaseTimer()
         state, actions, next_state = sample_data(train_runs[epoch - 1], samples_per_epoch, rng)
         inputs, targets = ctrl.preprocess_data(state, actions, next_state)
         x_train = np.vstack((x_train, inputs))
         y_train = np.vstack((y_train, targets))
-        t3 = time.perf_counter()
-        ctrl.train_gp(x=x_train, y=y_train, lr=lr, iterations=gp_iterations)
-        t4 = time.perf_counter()
-        test_runs[epoch] = run_evaluation(env, ctrl, eval_seed, n_steps)
-        t5 = time.perf_counter()
-        train_runs[epoch] = run_evaluation(env, ctrl, int(epoch_seeds[epoch]), n_steps)
-        t6 = time.perf_counter()
+        with timer.phase("Train GP"):
+            ctrl.train_gp(x=x_train, y=y_train, lr=lr, iterations=gp_iterations)
+        with timer.phase("Test GPMPC Performance"):
+            test_runs[epoch] = run_evaluation(env, ctrl, eval_seed, n_steps)
+        with timer.phase("Collect GP Data"):
+            train_runs[epoch] = run_evaluation(env, ctrl, int(epoch_seeds[epoch]), n_steps)
         if ckpt is not None:
             ckpt.save(
                 epoch, ctrl, x_train, y_train,
                 rng=rng, train_runs=train_runs, test_runs=test_runs,
             )
-        print("\nExecution Times (seconds):")
-        print(f"{'Operation':<25} {'Time (s)':<10}")
-        print("-" * 35)
-        print(f"{'Train GP':<25} {t4 - t3:>10.2f}")
-        print(f"{'Test GPMPC Performance':<25} {t5 - t4:>10.2f}")
-        print(f"{'Collect GP Data':<25} {t6 - t5:>10.2f}")
+        # Per-epoch phase timing report (the reference prints an equivalent
+        # three-row wall-clock table after each epoch, run_gp_mpc.py:128-134).
+        print(f"\n[epoch {epoch}] phase wall times:")
+        for phase, samples in timer.samples.items():
+            print(f"  {phase}: {sum(samples):.2f} s")
+        if progress is not None:
+            progress.update(1)
+    if progress is not None:
+        progress.close()
     return train_runs, test_runs
 
 
@@ -199,6 +238,9 @@ def run():
     n_steps = env.p.n_steps if not args.fast else 80
     gp_iterations = config.train.iterations if not args.fast else 100
     lr = config.train.lr if not args.fast else 0.05
+    if args.steps is not None:
+        n_steps = args.steps
+    n_epochs = config.run.num_epochs if args.epochs is None else args.epochs
 
     ctrl = GPMPC(
         prior_model,
@@ -220,7 +262,7 @@ def run():
     )
 
     train_runs, test_runs = learn(
-        n_epochs=config.run.num_epochs,
+        n_epochs=n_epochs,
         ctrl=ctrl,
         env=env,
         lr=lr,
@@ -264,6 +306,6 @@ def run():
 
 
 if __name__ == "__main__":
-    tstart = time.perf_counter()
+    _t0 = time.perf_counter()
     run()
-    print(f"Experiment took {time.perf_counter() - tstart:.2f} seconds")
+    print(f"total experiment wall time: {time.perf_counter() - _t0:.2f} s")
