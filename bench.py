@@ -47,17 +47,28 @@ def main():
     from gpmpc_tpu.parallel.batch import batched_gpmpc_step
     from gpmpc_tpu.utils.benchkit import Q_MPC, R_MPC, reference_prior_dict, synthetic_gp_model
 
+    # Problem-size overrides (BASELINE configs): defaults are the reference
+    # problem (T=25, 128-capacity GP, 40 FITC inducing). Config 4 ("2x horizon,
+    # >=5k-point GP"): BENCH_HORIZON=50 BENCH_GP_POINTS=5120 BENCH_GP_INDUCING=128.
+    horizon = int(os.environ.get("BENCH_HORIZON", "25"))
+    gp_points = int(os.environ.get("BENCH_GP_POINTS", "128"))
+    gp_inducing = int(os.environ.get("BENCH_GP_INDUCING", "40"))
+    gp_data = int(os.environ.get("BENCH_GP_DATA", str(min(gp_points, 5000))))
+
     prior_params = reference_prior_dict()
     env = DroneFigureEightEnv()
     model = symbolic_attitude(dt=0.02, params=prior_params)
     ctrl = GPMPC(
-        model, env.trajectory, prior_params, horizon=25, q_mpc=Q_MPC, r_mpc=R_MPC,
-        sparse_gp=True, prob=0.95, max_gp_samples=40, seed=1,
-        max_gp_points=128, sqp_iters=6, qp_iters=10,
+        model, env.trajectory, prior_params, horizon=horizon, q_mpc=Q_MPC, r_mpc=R_MPC,
+        sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+        max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
     )
-    # Train the GPs on a synthetic residual dataset at the reference's scale so
+    # Train the GPs on a synthetic residual dataset at the requested scale so
     # the bench exercises the real augmented dynamics + tightening path.
-    gp = synthetic_gp_model(max_points=128, max_inducing=40, n_train=50)
+    gp = synthetic_gp_model(
+        max_points=gp_points, max_inducing=gp_inducing,
+        n_data=min(gp_data, gp_points), n_train=50,
+    )
 
     from gpmpc_tpu.envs import drone
 
@@ -79,9 +90,13 @@ def main():
     # with early-exit SQP, re-solving an unchanged problem would be free).
     env_p = env.p
 
+    var_backend = os.environ.get("BENCH_VAR_BACKEND", "auto")  # auto | pallas | xla
+    var_bf16 = os.environ.get("BENCH_VAR_BF16", "0") == "1"
+
     def closed_loop_step(consts, gpm, env_states, ctrl_states, obs):
         u, ctrl_states, _ = batched_gpmpc_step(
-            model, ctrl.cfg, consts, gpm, ctrl_states, obs, backend=backend
+            model, ctrl.cfg, consts, gpm, ctrl_states, obs, backend=backend,
+            var_backend=var_backend, var_bf16=var_bf16,
         )
         env_states, obs, _, _, _ = jax.vmap(lambda s, a: drone.env_step(env_p, s, a))(
             env_states, u
@@ -92,7 +107,7 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     env_states, obs = jax.vmap(lambda k: drone.env_reset(env_p, k))(keys)
-    ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(25, 12, 4))(jnp.arange(B))
+    ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(horizon, 12, 4))(jnp.arange(B))
 
     # Warm-up: compile + two steps (past the cold-start solve into the
     # warm-started tightening-active regime).

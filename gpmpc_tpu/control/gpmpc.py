@@ -52,7 +52,7 @@ from gpmpc_tpu.gp.exact_gp import (
     posterior,
 )
 from gpmpc_tpu.gp.kernels import se_kernel
-from gpmpc_tpu.gp.sparse import fitc_posterior_mean, select_inducing
+from gpmpc_tpu.gp.sparse import fitc_posterior, select_inducing
 from gpmpc_tpu.models import quadrotor
 from gpmpc_tpu.models.quadrotor import GRAVITY, QuadrotorParams
 from gpmpc_tpu.models.symbolic import SymbolicModel
@@ -76,14 +76,19 @@ class GpModel(NamedTuple):
     y: jax.Array  # (3, M)
     mask: jax.Array  # (3, M)
     hypers: GPHypers  # leaves shaped (3,)
-    K_inv: jax.Array  # (3, M, M) explicit inverse — turns per-step predictive
-    # variance into pure GEMMs (MXU) instead of batched triangular solves; computed
-    # once per training (≙ compute_covariances, gp.py:43-46, where the reference's
-    # dense-inverse quirk is the right call for the TPU hot path)
-    alpha_full: jax.Array  # (3, M) exact posterior weights
     # Mean-prediction inducing set: FITC subset if sparse, else the full set.
     Zs: jax.Array  # (3, Ms, 3)
     alpha_s: jax.Array  # (3, Ms)
+    # Predictive-variance quadratic form: var(z) = sf2 - k(z,var_Z) var_mat k'.
+    # Exact mode: var_Z = Z, var_mat = K_inv (the reference's dense-inverse cache,
+    # ≙ compute_covariances gp.py:43-46 — the right call for the TPU hot path:
+    # variance becomes pure GEMMs on the MXU, no per-step triangular solves).
+    # Sparse mode: var_Z = Zs, var_mat = the FITC variance form (gp/sparse.py::
+    # fitc_posterior) — O(Ms^2) per query instead of O(M^2), the inducing-point
+    # analogue of the reference's LOVE fast_pred_var (gpmpc.py:443-445).
+    var_Z: jax.Array  # (3, Mv, 3)
+    var_mat: jax.Array  # (3, Mv, Mv)
+    var_mask: jax.Array  # (3, Mv)
     trained: jax.Array  # scalar bool
 
 
@@ -100,6 +105,8 @@ class GpMpcConsts(NamedTuple):
 def empty_gp_model(
     max_points: int, max_inducing: int, dtype=jnp.float32, ard: bool = False
 ) -> GpModel:
+    """`max_inducing` sizes both the mean inducing set and the variance form
+    (callers pass max_inducing == max_points for the exact/dense mode)."""
     M, Ms = max_points, max_inducing
     zeros3 = jnp.zeros((NUM_GPS,), dtype)
     # The lengthscale leaf shape must match what train_gp_models will produce —
@@ -111,10 +118,11 @@ def empty_gp_model(
         y=jnp.zeros((NUM_GPS, M), dtype),
         mask=jnp.zeros((NUM_GPS, M), dtype),
         hypers=GPHypers(ell0, zeros3, zeros3),
-        K_inv=jnp.tile(jnp.eye(M, dtype=dtype)[None], (NUM_GPS, 1, 1)),
-        alpha_full=jnp.zeros((NUM_GPS, M), dtype),
         Zs=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
         alpha_s=jnp.zeros((NUM_GPS, Ms), dtype),
+        var_Z=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
+        var_mat=jnp.zeros((NUM_GPS, Ms, Ms), dtype),
+        var_mask=jnp.zeros((NUM_GPS, Ms), dtype),
         trained=jnp.asarray(False),
     )
 
@@ -178,24 +186,28 @@ def train_gp_models(
     hypers, _ = jax.vmap(lambda d: fit_gp(d, hypers=h0, n_train=n_train, lr=lr))(data)
     hypers = GPHypers(*hypers)
     post = jax.vmap(posterior)(hypers, data)
-    M = data.x.shape[1]
-    eye = jnp.eye(M, dtype=data.x.dtype)
-    K_inv = jax.vmap(
-        lambda c: jax.scipy.linalg.cho_solve((c, True), eye)
-    )(post.chol)
 
     if sparse:
+        # Mean AND variance from the inducing set: the O(M^2)-per-query exact
+        # variance (and its O(M^3) K_inv factorization) is never built — at
+        # M = 5k that is the difference between MXU-roofline-bound and fast.
         idx_s, s_mask = select_inducing(key, data.mask[0], max_inducing)
-        Zs, alpha_s = jax.vmap(
-            lambda h, d: fitc_posterior_mean(h, d, idx_s, s_mask)
+        Zs, alpha_s, W = jax.vmap(
+            lambda h, d: fitc_posterior(h, d, idx_s, s_mask)
         )(hypers, data)
+        var_Z, var_mask = Zs, jnp.tile(s_mask[None], (NUM_GPS, 1))
     else:
+        M = data.x.shape[1]
+        eye = jnp.eye(M, dtype=data.x.dtype)
+        W = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(post.chol)
         Zs, alpha_s = data.x, post.alpha
+        var_Z, var_mask = data.x, data.mask
 
     return GpModel(
-        Z=data.x, y=data.y, mask=data.mask,
-        hypers=hypers, K_inv=K_inv, alpha_full=post.alpha,
-        Zs=Zs, alpha_s=alpha_s, trained=jnp.asarray(True),
+        Z=data.x, y=data.y, mask=data.mask, hypers=hypers,
+        Zs=Zs, alpha_s=alpha_s,
+        var_Z=var_Z, var_mat=W, var_mask=var_mask,
+        trained=jnp.asarray(True),
     )
 
 
@@ -231,6 +243,34 @@ def augmented_fd(model: SymbolicModel, gp: GpModel, x: jax.Array, u: jax.Array) 
     return quadrotor.rk4(f, x, u, model.dt)
 
 
+def gp_variances(gp: GpModel, z_slices: jax.Array, bf16: bool = False) -> jax.Array:
+    """Predictive variance (3, ...) at per-GP query slices (3, ..., 3) via the
+    var_mat quadratic form (exact K_inv or FITC — see GpModel).
+
+    ≙ the LOVE fast-variance call at gpmpc.py:443-445. With `bf16`, the
+    O(N·Mv^2) GEMM runs in bfloat16 with f32 accumulation — 4x MXU throughput
+    for a variance that only feeds sqrt-scale bound offsets.
+    """
+    batch_shape = z_slices.shape[1:-1]
+    z_flat = z_slices.reshape(NUM_GPS, -1, GP_INPUT_DIM)
+    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+
+    def var_one(Zv, mv, W, ell_i, sf2_i, z):
+        k = se_kernel(z, Zv, ell_i, sf2_i) * mv[None, :]  # (N, Mv)
+        if bf16:
+            t = jnp.dot(
+                k.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            t = k @ W
+        return jnp.maximum(sf2_i - jnp.sum(t * k, axis=-1), 1e-12)
+
+    covs = jax.vmap(var_one)(gp.var_Z, gp.var_mask, gp.var_mat, ell, sf2, z_flat)
+    return covs.reshape((NUM_GPS,) + batch_shape)
+
+
 def propagate_constraint_limits(
     consts: GpMpcConsts,
     gp: GpModel,
@@ -244,24 +284,21 @@ def propagate_constraint_limits(
     the tightening magnitude ppf * sqrt(diag(cov)) applies symmetrically to both
     sides, which is how it is returned here.
     """
-    T = u_prev.shape[0]
-    nx = x_prev.shape[1]
     z7 = gp_input_from_xu(x_prev[:-1], u_prev)  # (T, 7)
-    z_slices = slice_gp_inputs(z7)  # (3, T, 3)
+    covs_diag = gp_variances(gp, slice_gp_inputs(z7))  # (3, T)
+    return tightening_from_variances(consts, gp, z7, covs_diag)
 
-    def var_one(Z_i, mask_i, Kinv_i, ell_i, sf2_i, z_i):
-        # K_inv-based exact variance: var = sf2 - sum((k K_inv) * k) — pure GEMMs
-        # on the MXU (no per-step triangular solves). ≙ the LOVE fast-variance
-        # call at gpmpc.py:443-445, but exact.
-        k = se_kernel(z_i, Z_i, ell_i, sf2_i) * mask_i[None, :]  # (T, M)
-        var = sf2_i - jnp.einsum("tm,mn,tn->t", k, Kinv_i, k)
-        return jnp.maximum(var, 1e-12)
 
-    ell_all = jax.nn.softplus(gp.hypers.raw_lengthscale)
-    sf2_all = jax.nn.softplus(gp.hypers.raw_outputscale)
-    covs_diag = jax.vmap(var_one)(
-        gp.Z, gp.mask, gp.K_inv, ell_all, sf2_all, z_slices
-    )  # (3, T)
+def tightening_from_variances(
+    consts: GpMpcConsts,
+    gp: GpModel,
+    z7: jax.Array,  # (T, 7) GP inputs along the previous solution
+    covs_diag: jax.Array,  # (3, T) predictive variances (precomputed)
+) -> tuple[jax.Array, jax.Array]:
+    """Covariance-propagation scan given precomputed GP variances — split out so
+    batched callers can compute the variances with one fused kernel over all
+    scenarios (see batched_prepare_step)."""
+    nx = consts.Ad.shape[0]
 
     phi = z7[:, 1]
     theta = z7[:, 4]
@@ -302,7 +339,7 @@ def propagate_constraint_limits(
         )
         return cov_next, (t_x, t_u)
 
-    cov0 = jnp.zeros((nx, nx), x_prev.dtype)
+    cov0 = jnp.zeros((nx, nx), z7.dtype)
     cov_T, (t_x_path, t_u) = jax.lax.scan(step, cov0, (cov_d, cov_n))
     t_x_term = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_T), 0.0))
     t_x = jnp.concatenate([t_x_path, t_x_term[None]], axis=0)
@@ -349,39 +386,131 @@ def preprocess_data_jnp(
     return train_input, train_output
 
 
-def prepare_step(
-    model: SymbolicModel,
+def _bounds_from_tightening(
     consts: GpMpcConsts,
     gp: GpModel,
     state: MpcState,
     obs: jax.Array,
-) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array]:
-    """Per-scenario step preparation: tightened bounds, reference window, warm
-    start. (xref, bounds, X_init, U_init). Vmappable."""
+    t_x: jax.Array,  # (T+1, nx) requested tightenings
+    t_u: jax.Array,  # (T, nu)
+) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array, jax.Array]:
+    """Shared tail of step preparation: gate/clamp the tightening, build bounds,
+    reference window, and warm start. Returns (xref, bounds, X_init, U_init,
+    clamp_frac)."""
     T = consts.mpc.uref.shape[0]
     c = consts.mpc
 
     # First step has no previous rollout -> zero tightening (gpmpc.py:432-433).
-    t_x, t_u = propagate_constraint_limits(consts, gp, state.X_warm, state.U_warm)
     use = jnp.logical_and(state.traj_step > 0, gp.trained)
     t_x = jnp.where(use, t_x, 0.0)
     t_u = jnp.where(use, t_u, 0.0)
 
     # Keep tightened boxes feasible: never consume more than 45% of the interval
     # from each side (the reference would instead hit an acados failure status).
+    # Every clamped entry is counted and surfaced in MpcInfo.clamp_frac — when
+    # nonzero, the chance constraint is degraded and the caller must know.
     lx = jnp.tile(c.lx[None], (T + 1, 1))
     ux = jnp.tile(c.ux[None], (T + 1, 1))
     lu = jnp.tile(c.lu[None], (T, 1))
     uu = jnp.tile(c.uu[None], (T, 1))
-    t_x = jnp.minimum(t_x, 0.45 * (ux - lx))
-    t_u = jnp.minimum(t_u, 0.45 * (uu - lu))
+    cap_x = 0.45 * (ux - lx)
+    cap_u = 0.45 * (uu - lu)
+    n_clamped = jnp.sum(t_x > cap_x) + jnp.sum(t_u > cap_u)
+    clamp_frac = n_clamped.astype(jnp.float32) / float(t_x.size + t_u.size)
+    t_x = jnp.minimum(t_x, cap_x)
+    t_u = jnp.minimum(t_u, cap_u)
     bounds = OcpBounds(lx=lx + t_x, ux=ux - t_x, lu=lu + t_u, uu=uu - t_u)
 
     xref = mpc_mod.reference_window(c.traj, state.traj_step, T)
     first = state.traj_step == 0
     X_init = jnp.where(first, jnp.tile(obs[None], (T + 1, 1)), state.X_warm)
     U_init = jnp.where(first, c.uref, state.U_warm)
-    return xref, bounds, X_init, U_init
+    return xref, bounds, X_init, U_init, clamp_frac
+
+
+def prepare_step(
+    model: SymbolicModel,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    state: MpcState,
+    obs: jax.Array,
+) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array, jax.Array]:
+    """Per-scenario step preparation: tightened bounds, reference window, warm
+    start. (xref, bounds, X_init, U_init, clamp_frac). Vmappable."""
+    t_x, t_u = propagate_constraint_limits(consts, gp, state.X_warm, state.U_warm)
+    return _bounds_from_tightening(consts, gp, state, obs, t_x, t_u)
+
+
+def batched_variances(
+    gp: GpModel,
+    z_slices: jax.Array,  # (3, B, T, 3)
+    backend: str = "auto",
+    bf16: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tightening variances for a whole scenario batch, (3, B, T).
+
+    backend="pallas" routes through the fused GP inference kernel
+    (ops/pallas_gp.py) — one VMEM-resident pass per GP over all B*T query
+    points; "xla" is the quadratic-form GEMM; "auto" picks pallas on TPU for
+    isotropic hypers and resident-size variance matrices.
+    """
+    _, B, T, _ = z_slices.shape
+    Mv = gp.var_Z.shape[1]
+    isotropic = jnp.ndim(gp.hypers.raw_lengthscale) == 1
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if (jax.default_backend() == "tpu" and isotropic and Mv <= 1024)
+            else "xla"
+        )
+    if backend != "pallas":
+        return gp_variances(gp, z_slices, bf16=bf16)
+
+    from gpmpc_tpu.ops.pallas_gp import gp_mean_var
+
+    # Pad the variance form to a lane-aligned Mv (masked entries contribute 0).
+    pad = (-Mv) % 128
+    var_Z = jnp.pad(gp.var_Z, ((0, 0), (0, pad), (0, 0)))
+    var_mat = jnp.pad(gp.var_mat, ((0, 0), (0, pad), (0, pad)))
+    var_mask = jnp.pad(gp.var_mask, ((0, 0), (0, pad)))
+    alpha = jnp.pad(gp.alpha_s, ((0, 0), (0, pad)))
+    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+    noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6
+
+    covs = []
+    for i in range(NUM_GPS):  # 3 kernel launches; each tiles over B*T queries
+        _, var = gp_mean_var(
+            z_slices[i].reshape(B * T, GP_INPUT_DIM),
+            var_Z[i], alpha[i], var_mat[i],
+            ell[i], sf2[i], noise[i], var_mask[i],
+            include_noise=False, interpret=interpret,
+        )
+        covs.append(var.reshape(B, T))
+    return jnp.stack(covs, axis=0)
+
+
+def batched_prepare_step(
+    model: SymbolicModel,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    states: MpcState,  # leaves batched over B
+    obs: jax.Array,  # (B, nx)
+    var_backend: str = "auto",
+    var_bf16: bool = False,
+):
+    """Batch-first step preparation: the GP variance work for all B scenarios
+    runs as one fused pass (the hot-path integration of the GP-inference
+    kernel), then the small per-scenario covariance scans vmap."""
+    z7 = jax.vmap(lambda s: gp_input_from_xu(s.X_warm[:-1], s.U_warm))(states)  # (B, T, 7)
+    covs = batched_variances(gp, slice_gp_inputs(z7), var_backend, var_bf16)  # (3, B, T)
+    t_x, t_u = jax.vmap(
+        lambda z7_b, cv_b: tightening_from_variances(consts, gp, z7_b, cv_b)
+    )(z7, jnp.moveaxis(covs, 1, 0))
+    return jax.vmap(
+        lambda s, o, tx, tu: _bounds_from_tightening(consts, gp, s, o, tx, tu)
+    )(states, obs, t_x, t_u)
 
 
 def select_action(
@@ -394,14 +523,15 @@ def select_action(
 ) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
     """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368."""
     c = consts.mpc
-    xref, bounds, X_init, U_init = prepare_step(model, consts, gp, state, obs)
+    xref, bounds, X_init, U_init, clamp_frac = prepare_step(model, consts, gp, state, obs)
     fd = partial(augmented_fd, model, gp)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     sol = sqp_solve(fd, cost, bounds, obs, X_init, U_init, cfg)
 
     new_state = MpcState(traj_step=state.traj_step + 1, X_warm=sol.X, U_warm=sol.U)
     info = mpc_mod.MpcInfo(
-        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
+        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap,
+        n_iters=sol.n_iters, clamp_frac=clamp_frac,
     )
     return sol.U[0], new_state, info
 
@@ -414,18 +544,22 @@ def batched_select_action_lanes(
     states: MpcState,  # leaves batched over B
     obs: jax.Array,  # (B, nx)
     interpret: bool = False,
+    var_backend: str = "auto",
+    var_bf16: bool = False,
 ) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
     """Batch GP-MPC step with the lane-packed Pallas QP backend (pallas_ocp.py).
 
     Same semantics as vmap(select_action); the QP solves go through one Pallas
-    kernel per 128-scenario lane tile instead of XLA's batched small matmuls.
+    kernel per 128-scenario lane tile instead of XLA's batched small matmuls,
+    and the tightening variances go through the fused GP-inference kernel
+    (batched_prepare_step) instead of per-scenario einsums.
     """
     from gpmpc_tpu.ops.sqp_lanes import sqp_solve_batch_lanes
 
     c = consts.mpc
-    xref, bounds, X_init, U_init = jax.vmap(
-        lambda s, o: prepare_step(model, consts, gp, s, o)
-    )(states, obs)
+    xref, bounds, X_init, U_init, clamp_frac = batched_prepare_step(
+        model, consts, gp, states, obs, var_backend=var_backend, var_bf16=var_bf16
+    )
     fd = partial(augmented_fd, model, gp)
     fd_jac3 = None
     if cfg.analytic_jac and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
@@ -441,7 +575,8 @@ def batched_select_action_lanes(
         traj_step=states.traj_step + 1, X_warm=sol.X, U_warm=sol.U
     )
     info = mpc_mod.MpcInfo(
-        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
+        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap,
+        n_iters=sol.n_iters, clamp_frac=clamp_frac,
     )
     return sol.U[:, 0], new_states, info
 

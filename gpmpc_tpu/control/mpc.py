@@ -59,6 +59,12 @@ class MpcInfo(NamedTuple):
     step_norm: jax.Array
     qp_gap: jax.Array
     n_iters: jax.Array
+    # Fraction of (stage, dim) box bounds whose chance-constraint tightening hit
+    # the feasibility cap this step (0 for the nominal controller). Nonzero means
+    # the advertised chance constraint is NOT fully honored — the reference fails
+    # hard with an acados status instead (gpmpc/mpc.py:185); here degradation is
+    # graceful but must be visible.
+    clamp_frac: jax.Array = jnp.asarray(0.0, jnp.float32)
 
 
 def make_consts(

@@ -20,6 +20,7 @@ data preprocessing; the mismatch is not reproduced.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -32,6 +33,28 @@ from gpmpc_tpu.models.trajectory import figure_eight_trajectory
 
 
 class EnvParams(NamedTuple):
+    """Plant + episode parameters.
+
+    Beyond the rigid-body coefficients, the default plant carries *structural*
+    mismatch that the controller's 12-state prior model class cannot represent
+    (mirroring the reference's situation, where the prior is a low-order fit to
+    the structurally different crazyflow simulator, SURVEY.md §2.2):
+
+      * first-order actuation lag — the thrust command filters through a rotor
+        spin-up time constant and the attitude commands through an inner-loop
+        lag, adding 4 hidden actuator states;
+      * aero drag — linear + quadratic velocity drag on the translational
+        accelerations (velocity is not a GP input, so this residual is only
+        partially identifiable: honest structural mismatch);
+      * actuation delay — commands take `delay_steps` control periods to reach
+        the actuators;
+      * process noise (optional, off by default for determinism) — white
+        acceleration noise.
+
+    `EnvParams.ideal()` zeroes all of these for solver parity tests where the
+    plant must be exactly the prior's model class.
+    """
+
     params: QuadrotorParams
     dt: float = 0.02
     n_steps: int = 300  # episode length == trajectory period
@@ -39,16 +62,35 @@ class EnvParams(NamedTuple):
     init_noise: float = 0.02  # seed-dependent initial-state perturbation scale
     traj_amplitude: float = 0.8
     traj_height: float = 1.0
+    # --- structural-mismatch (high-fidelity) plant parameters ---
+    rotor_tau: float = 0.06  # thrust-command first-order lag [s]
+    att_tau: float = 0.03  # attitude-command inner-loop lag [s]
+    drag_lin: float = 0.10  # linear aero drag on velocity [1/s]
+    drag_quad: float = 0.06  # quadratic aero drag [1/m]
+    delay_steps: int = 1  # actuation delay in control periods
+    noise_std: float = 0.0  # process-noise std on accelerations [m/s^2 / sqrt(s)]
 
     @classmethod
     def default(cls) -> "EnvParams":
         return cls(params=quadrotor.TRUE_PARAMS)
+
+    @classmethod
+    def ideal(cls, **overrides) -> "EnvParams":
+        """Pure-ODE plant (no lag/drag/delay/noise): exactly the prior model
+        class with TRUE_PARAMS coefficients. For solver-parity tests."""
+        kw = dict(rotor_tau=0.0, att_tau=0.0, drag_lin=0.0, drag_quad=0.0,
+                  delay_steps=0, noise_std=0.0)
+        kw.update(overrides)
+        return cls(params=quadrotor.TRUE_PARAMS, **kw)
 
 
 class EnvState(NamedTuple):
     x: jax.Array  # (12,) true state
     t: jax.Array  # scalar int32 step counter
     rng: jax.Array  # PRNG key
+    # Hidden plant states (invisible to the controller's observation):
+    u_act: jax.Array  # (4,) actuator output after first-order lag
+    u_queue: jax.Array  # (delay_steps, 4) in-flight delayed commands
 
 
 def make_trajectory(p: EnvParams) -> jax.Array:
@@ -60,12 +102,27 @@ def make_trajectory(p: EnvParams) -> jax.Array:
 
 @partial(jax.jit, static_argnums=0)
 def env_reset(p: EnvParams, seed_key: jax.Array) -> tuple[EnvState, jax.Array]:
-    """Reset to the trajectory start plus a small seed-dependent perturbation."""
+    """Reset to the trajectory start plus a small seed-dependent perturbation.
+
+    Actuator states start at the true plant's hover input (rotors already
+    spinning at trim), and the delay queue is pre-filled with it.
+    """
     traj0 = make_trajectory(p)[0]
     key, sub = jax.random.split(seed_key)
     x0 = traj0 + p.init_noise * jax.random.normal(sub, traj0.shape, traj0.dtype)
-    state = EnvState(x=x0, t=jnp.asarray(0, jnp.int32), rng=key)
+    u_hover = hover_input(p.params)
+    state = EnvState(
+        x=x0, t=jnp.asarray(0, jnp.int32), rng=key,
+        u_act=u_hover,
+        u_queue=jnp.tile(u_hover[None], (p.delay_steps, 1)),
+    )
     return state, x0
+
+
+def hover_input(params: QuadrotorParams) -> jax.Array:
+    """The true plant's trim input: thrust command with acc = g, zero angles."""
+    t_hover = (quadrotor.GRAVITY - params.b) / params.a
+    return jnp.asarray([t_hover, 0.0, 0.0, 0.0], jnp.float32)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -107,11 +164,45 @@ def env_step_dynamic(
     scenario batch can carry per-scenario randomized dynamics (vmap over
     params_arr). The static `p.params` is ignored in favor of `params_arr`."""
     dyn = QuadrotorParams(*[params_arr[i] for i in range(8)])
-    fc = partial(quadrotor.continuous_dynamics, params=dyn)
+
+    def fc(x_, u_):
+        f = quadrotor.continuous_dynamics(x_, u_, params=dyn)
+        if p.drag_lin > 0.0 or p.drag_quad > 0.0:
+            # Aero drag on the translational accelerations: -(c1 + c2|v|) v.
+            v = x_[jnp.array([quadrotor.IDX_DX, quadrotor.IDX_DY, quadrotor.IDX_DZ])]
+            drag = -(p.drag_lin + p.drag_quad * jnp.linalg.norm(v)) * v
+            f = f.at[jnp.array([quadrotor.IDX_DX, quadrotor.IDX_DY, quadrotor.IDX_DZ])].add(drag)
+        return f
+
+    # Actuation delay: the command applied now left the controller
+    # `delay_steps` periods ago.
+    if p.delay_steps > 0:
+        u_cmd = state.u_queue[0]
+        u_queue = jnp.concatenate([state.u_queue[1:], action[None]], axis=0)
+    else:
+        u_cmd = action
+        u_queue = state.u_queue
+
     sub_dt = p.dt / p.sim_substeps
+    # First-order actuator response per substep (exact ZOH discretization);
+    # tau = 0 means instantaneous (alpha = 1).
+    alpha = jnp.asarray(
+        [1.0 - math.exp(-sub_dt / tau) if tau > 0.0 else 1.0
+         for tau in (p.rotor_tau, p.att_tau, p.att_tau, p.att_tau)],
+        jnp.float32,
+    )
     x = state.x
+    u_act = state.u_act
     for _ in range(p.sim_substeps):
-        x = quadrotor.rk4(fc, x, action, sub_dt)
+        u_act = u_act + alpha * (u_cmd - u_act)
+        x = quadrotor.rk4(fc, x, u_act, sub_dt)
+    key = state.rng
+    if p.noise_std > 0.0:
+        key, sub = jax.random.split(key)
+        vel_rows = jnp.array([quadrotor.IDX_DX, quadrotor.IDX_DY, quadrotor.IDX_DZ,
+                              quadrotor.IDX_DPHI, quadrotor.IDX_DTHETA])
+        noise = p.noise_std * jnp.sqrt(p.dt) * jax.random.normal(sub, (5,), x.dtype)
+        x = x.at[vel_rows].add(noise)
     t = state.t + 1
 
     traj = make_trajectory(p)
@@ -122,7 +213,8 @@ def env_step_dynamic(
     s_low, s_high = quadrotor.state_bounds()
     terminated = jnp.logical_or(jnp.any(x < 2 * s_low), jnp.any(x > 2 * s_high))
     truncated = t >= p.n_steps
-    return EnvState(x=x, t=t, rng=state.rng), x, reward, terminated, truncated
+    new_state = EnvState(x=x, t=t, rng=key, u_act=u_act, u_queue=u_queue)
+    return new_state, x, reward, terminated, truncated
 
 
 class DroneFigureEightEnv:

@@ -46,10 +46,33 @@ def fitc_posterior_mean(
     idx: jax.Array,
     s_mask: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """FITC weights alpha on the inducing subset `data.x[idx]`.
+    """FITC mean weights only — see `fitc_posterior` for mean + variance."""
+    Zs, alpha, _ = fitc_posterior(hypers, data, idx, s_mask)
+    return Zs, alpha
 
-    Returns (Zs, alpha): Zs (Ms, D) inducing inputs (padded rows zero),
-    alpha (Ms,) with padded entries zero, such that mean(z) = k(z, Zs) @ alpha.
+
+def fitc_posterior(
+    hypers: GPHypers,
+    data: GPData,
+    idx: jax.Array,
+    s_mask: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """FITC posterior on the inducing subset `data.x[idx]`.
+
+    Returns (Zs, alpha, W): Zs (Ms, D) inducing inputs (padded rows zero),
+    alpha (Ms,) mean weights with padded entries zero, and W (Ms, Ms) the PSD
+    variance quadratic form such that
+
+        mean(z) = k(z, Zs) @ alpha
+        var(z)  = sf2 - k(z, Zs) @ W @ k(z, Zs)'     (FITC predictive variance)
+
+    with W = K_ss^-1 - (K_ss + K_xs' Gamma^-1 K_xs)^-1. This makes the
+    large-dataset variance an O(Ms^2)-per-query quadratic form — the same shape
+    as the exact K_inv form, so both share one fused inference kernel
+    (ops/pallas_gp.py). It is the principled inducing-point analogue of the
+    reference's LOVE-approximated `fast_pred_var` tightening variance
+    (/root/reference/gpmpc/gpmpc.py:8,443-445): both trade an O(N^2) exact form
+    for a low-rank one computed at train time.
     """
     Zs = data.x[idx] * s_mask[:, None]
     ell, sf2, noise = hypers.lengthscale, hypers.outputscale, hypers.noise
@@ -80,4 +103,12 @@ def fitc_posterior_mean(
     c = A @ (data.y * inv_sqrt_gamma)
     w = jax.scipy.linalg.cho_solve((chol_B, True), c)
     alpha = jax.scipy.linalg.solve_triangular(chol_ss, w, lower=True, trans=1)
-    return Zs, alpha * s_mask
+
+    # Variance quadratic form W = K_ss^-1 - Sigma, with Sigma = L^-T B^-1 L^-1:
+    # W = L^-T (I - B^-1) L^-1, computed from the same two Cholesky factors.
+    eye = jnp.eye(m, dtype=Zs.dtype)
+    L_inv = jax.scipy.linalg.solve_triangular(chol_ss, eye, lower=True)  # (m, m)
+    B_inv = jax.scipy.linalg.cho_solve((chol_B, True), eye)
+    W = L_inv.T @ (eye - B_inv) @ L_inv
+    W = 0.5 * (W + W.T) * (s_mask[:, None] * s_mask[None, :])
+    return Zs, alpha * s_mask, W

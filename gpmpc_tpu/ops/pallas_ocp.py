@@ -118,7 +118,7 @@ class LanesQp(NamedTuple):
 
 
 def _ip_kernel_body(
-    n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol,
+    n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol, mehrotra: bool,
     # refs: qp data
     A_ref, B_ref, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
     lx_ref, ux_ref, lu_ref, uu_ref,
@@ -148,34 +148,23 @@ def _ip_kernel_body(
     luu_s[...] = mu0 / suu_s[...]
     m_total = 2.0 * ((T + 1) * nx + T * nu)
 
-    def ip_iter_body(mu):
+    def lane_min(arr):  # (T?, n, L) -> (L,)
+        return jnp.min(arr.reshape(-1, L), axis=0)
+
+    def lane_sum(arr):
+        return jnp.sum(arr.reshape(-1, L), axis=0)
+
+    def ratio(v, d, t):
+        return jnp.where(d < 0, -t * v / jnp.minimum(d, -1e-30), jnp.inf)
+
+    def solve_newton(corr_x, corr_u):
+        """Backward Riccati sweep + forward rollout for the Newton system with
+        the given complementarity corrections. Barrier diagonals (sigx_s/sigu_s)
+        and rdyn_s must already be staged; returns (ddx, ddu)."""
         dx = dx_s[...]
         du = du_s[...]
-        slx, sux, slu, suu = slx_s[...], sux_s[...], slu_s[...], suu_s[...]
-        llx, lux, llu, luu = llx_s[...], lux_s[...], llu_s[...], luu_s[...]
-
-        # residuals
-        r_slx = dx - lx_ref[...] - slx
-        r_sux = ux_ref[...] - dx - sux
-        r_slu = du - lu_ref[...] - slu
-        r_suu = uu_ref[...] - du - suu
-        r_clx = slx * llx - mu
-        r_cux = sux * lux - mu
-        r_clu = slu * llu - mu
-        r_cuu = suu * luu - mu
-
-        sigx_s[...] = llx / slx + lux / sux
-        sigu_s[...] = llu / slu + luu / suu
-        corr_x = (r_clx + llx * r_slx) / slx - (r_cux + lux * r_sux) / sux
-        corr_u = (r_clu + llu * r_slu) / slu - (r_cuu + luu * r_suu) / suu
-        qhat_s[...] = qdiag_ref[...] * dx + qx_ref[...] - llx + lux + corr_x
-        rhat_s[...] = rdiag_ref[...] * du + ru_ref[...] - llu + luu + corr_u
-
-        # dynamics residual r_dyn_k = A dx_k + B du_k + r - dx_{k+1}
-        for k in range(T):  # static unroll: T is a trace-time constant
-            rdyn_s[k] = (
-                _mv(A_ref[k], dx_s[k]) + _mv(B_ref[k], du_s[k]) + r_ref[k] - dx_s[k + 1]
-            )
+        qhat_s[...] = qdiag_ref[...] * dx + qx_ref[...] - llx_s[...] + lux_s[...] + corr_x
+        rhat_s[...] = rdiag_ref[...] * du + ru_ref[...] - llu_s[...] + luu_s[...] + corr_u
 
         # ---- backward Riccati sweep (diagonal Q-hat + barrier) ----
         # Mosaic has no scatter: diagonal updates are eye-mask broadcasts.
@@ -217,50 +206,101 @@ def _ip_kernel_body(
             ddx_prev = ddx_next
         ddx = jnp.stack(ddx_all, axis=0)  # (T+1, nx, L)
         ddu = jnp.stack(ddu_all, axis=0)  # (T, nu, L)
+        return ddx, ddu
 
-        # ---- slack/dual direction, fraction-to-boundary, update ----
-        ds_lx = ddx + r_slx
-        ds_ux = r_sux - ddx
-        ds_lu = ddu + r_slu
-        ds_uu = r_suu - ddu
-        dl_lx = -(r_clx + llx * ds_lx) / slx
-        dl_ux = -(r_cux + lux * ds_ux) / sux
-        dl_lu = -(r_clu + llu * ds_lu) / slu
-        dl_uu = -(r_cuu + luu * ds_uu) / suu
+    def ip_iter_body(mu):
+        dx = dx_s[...]
+        du = du_s[...]
+        slx, sux, slu, suu = slx_s[...], sux_s[...], slu_s[...], suu_s[...]
+        llx, lux, llu, luu = llx_s[...], lux_s[...], llu_s[...], luu_s[...]
 
-        def ratio(v, d):
-            return jnp.where(d < 0, -tau * v / jnp.minimum(d, -1e-30), jnp.inf)
+        # residuals
+        r_slx = dx - lx_ref[...] - slx
+        r_sux = ux_ref[...] - dx - sux
+        r_slu = du - lu_ref[...] - slu
+        r_suu = uu_ref[...] - du - suu
 
-        def lane_min(arr):  # (T?, n, L) -> (L,)
-            return jnp.min(arr.reshape(-1, L), axis=0)
+        sigx_s[...] = llx / slx + lux / sux
+        sigu_s[...] = llu / slu + luu / suu
 
-        a_p = jnp.minimum(
-            jnp.minimum(lane_min(ratio(slx, ds_lx)), lane_min(ratio(sux, ds_ux))),
-            jnp.minimum(lane_min(ratio(slu, ds_lu)), lane_min(ratio(suu, ds_uu))),
-        )
-        a_p = jnp.minimum(a_p, 1.0)
-        a_d = jnp.minimum(
-            jnp.minimum(lane_min(ratio(llx, dl_lx)), lane_min(ratio(lux, dl_ux))),
-            jnp.minimum(lane_min(ratio(llu, dl_lu)), lane_min(ratio(luu, dl_uu))),
-        )
-        a_d = jnp.minimum(a_d, 1.0)
+        # dynamics residual r_dyn_k = A dx_k + B du_k + r - dx_{k+1}
+        for k in range(T):  # static unroll: T is a trace-time constant
+            rdyn_s[k] = (
+                _mv(A_ref[k], dx_s[k]) + _mv(B_ref[k], du_s[k]) + r_ref[k] - dx_s[k + 1]
+            )
+
+        def directions(r_clx, r_cux, r_clu, r_cuu):
+            corr_x = (r_clx + llx * r_slx) / slx - (r_cux + lux * r_sux) / sux
+            corr_u = (r_clu + llu * r_slu) / slu - (r_cuu + luu * r_suu) / suu
+            ddx, ddu = solve_newton(corr_x, corr_u)
+            ds_lx = ddx + r_slx
+            ds_ux = r_sux - ddx
+            ds_lu = ddu + r_slu
+            ds_uu = r_suu - ddu
+            dl_lx = -(r_clx + llx * ds_lx) / slx
+            dl_ux = -(r_cux + lux * ds_ux) / sux
+            dl_lu = -(r_clu + llu * ds_lu) / slu
+            dl_uu = -(r_cuu + luu * ds_uu) / suu
+            return ddx, ddu, (ds_lx, ds_ux, ds_lu, ds_uu), (dl_lx, dl_ux, dl_lu, dl_uu)
+
+        def steps(ds, dl, t):
+            a_p = jnp.minimum(1.0, jnp.minimum(
+                jnp.minimum(lane_min(ratio(slx, ds[0], t)), lane_min(ratio(sux, ds[1], t))),
+                jnp.minimum(lane_min(ratio(slu, ds[2], t)), lane_min(ratio(suu, ds[3], t))),
+            ))
+            a_d = jnp.minimum(1.0, jnp.minimum(
+                jnp.minimum(lane_min(ratio(llx, dl[0], t)), lane_min(ratio(lux, dl[1], t))),
+                jnp.minimum(lane_min(ratio(llu, dl[2], t)), lane_min(ratio(luu, dl[3], t))),
+            ))
+            return a_p, a_d
+
+        if mehrotra:
+            # Affine predictor (per-lane adaptive centering, HPIPM's scheme).
+            gap_now = (
+                lane_sum(slx * llx) + lane_sum(sux * lux)
+                + lane_sum(slu * llu) + lane_sum(suu * luu)
+            ) / m_total
+            _, _, ds_a, dl_a = directions(slx * llx, sux * lux, slu * llu, suu * luu)
+            ap_a, ad_a = steps(ds_a, dl_a, 1.0)
+            ap_ = ap_a[None, None, :]
+            ad_ = ad_a[None, None, :]
+            gap_aff = (
+                lane_sum((slx + ap_ * ds_a[0]) * (llx + ad_ * dl_a[0]))
+                + lane_sum((sux + ap_ * ds_a[1]) * (lux + ad_ * dl_a[1]))
+                + lane_sum((slu + ap_ * ds_a[2]) * (llu + ad_ * dl_a[2]))
+                + lane_sum((suu + ap_ * ds_a[3]) * (luu + ad_ * dl_a[3]))
+            ) / m_total
+            sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
+            target = jnp.maximum(sig * gap_now, 1e-14)[None, None, :]
+            # Corrector: centering + second-order ds_aff*dlam_aff terms.
+            ddx, ddu, ds, dl = directions(
+                slx * llx + ds_a[0] * dl_a[0] - target,
+                sux * lux + ds_a[1] * dl_a[1] - target,
+                slu * llu + ds_a[2] * dl_a[2] - target,
+                suu * luu + ds_a[3] * dl_a[3] - target,
+            )
+        else:
+            ddx, ddu, ds, dl = directions(slx * llx - mu, sux * lux - mu,
+                                          slu * llu - mu, suu * luu - mu)
+
+        a_p, a_d = steps(ds, dl, tau)
 
         dx_s[...] = dx + a_p[None, None, :] * ddx
         du_s[...] = du + a_p[None, None, :] * ddu
-        slx_s[...] = slx + a_p[None, None, :] * ds_lx
-        sux_s[...] = sux + a_p[None, None, :] * ds_ux
-        slu_s[...] = slu + a_p[None, None, :] * ds_lu
-        suu_s[...] = suu + a_p[None, None, :] * ds_uu
-        llx_s[...] = llx + a_d[None, None, :] * dl_lx
-        lux_s[...] = lux + a_d[None, None, :] * dl_ux
-        llu_s[...] = llu + a_d[None, None, :] * dl_lu
-        luu_s[...] = luu + a_d[None, None, :] * dl_uu
+        slx_s[...] = slx + a_p[None, None, :] * ds[0]
+        sux_s[...] = sux + a_p[None, None, :] * ds[1]
+        slu_s[...] = slu + a_p[None, None, :] * ds[2]
+        suu_s[...] = suu + a_p[None, None, :] * ds[3]
+        llx_s[...] = llx + a_d[None, None, :] * dl[0]
+        lux_s[...] = lux + a_d[None, None, :] * dl[1]
+        llu_s[...] = llu + a_d[None, None, :] * dl[2]
+        luu_s[...] = luu + a_d[None, None, :] * dl[3]
 
         gap = (
-            jnp.sum((slx_s[...] * llx_s[...]).reshape(-1, L), axis=0)
-            + jnp.sum((sux_s[...] * lux_s[...]).reshape(-1, L), axis=0)
-            + jnp.sum((slu_s[...] * llu_s[...]).reshape(-1, L), axis=0)
-            + jnp.sum((suu_s[...] * luu_s[...]).reshape(-1, L), axis=0)
+            lane_sum(slx_s[...] * llx_s[...])
+            + lane_sum(sux_s[...] * lux_s[...])
+            + lane_sum(slu_s[...] * llu_s[...])
+            + lane_sum(suu_s[...] * luu_s[...])
         ) / m_total
         return jnp.maximum(sigma * gap, 1e-12)
 
@@ -298,7 +338,7 @@ def _ip_kernel_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "interpret"),
+    static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "interpret"),
 )
 def solve_ocp_qp_lanes(
     qp: LanesQp,
@@ -307,19 +347,24 @@ def solve_ocp_qp_lanes(
     sigma: float = 0.2,
     tau: float = 0.995,
     adaptive_tol: float | None = None,
+    mehrotra: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L),
     gap (L,) final complementarity gap per lane).
 
     One grid step per lane tile; all problem data and IP state stay in VMEM for
-    the whole solve.
+    the whole solve. mehrotra=True runs the predictor-corrector (two Riccati
+    sweeps per iteration, per-lane adaptive centering — fewer iterations to a
+    given gap; pair with adaptive_tol to bank the saved iterations).
     """
     T, nx, _, L = qp.A.shape
     nu = qp.B.shape[2]
     f32 = jnp.float32
 
-    kernel = functools.partial(_ip_kernel_body, n_ip, mu0, sigma, tau, adaptive_tol)
+    kernel = functools.partial(
+        _ip_kernel_body, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra
+    )
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     dx, du, gap = pl.pallas_call(
         kernel,

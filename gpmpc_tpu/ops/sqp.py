@@ -45,6 +45,10 @@ class SqpConfig(NamedTuple):
     # Use analytic dynamics Jacobians (models/jacobians.py) instead of jacfwd in
     # the lanes backend; isotropic-GP models only (falls back otherwise).
     analytic_jac: bool = False
+    # Mehrotra predictor-corrector in the IP QP (both backends): two Riccati
+    # sweeps per iteration, per-scenario adaptive centering, fewer iterations to
+    # a given gap (HPIPM's scheme; pair with qp_tol on the lanes backend).
+    qp_mehrotra: bool = False
 
 
 class OcpCost(NamedTuple):
@@ -126,7 +130,10 @@ def sqp_solve(
             lu=bounds.lu - U,
             uu=bounds.uu - U,
         )
-        sol = solve_ocp_qp(qp, n_iter=cfg.qp_iters, parallel_scan=cfg.parallel_scan)
+        sol = solve_ocp_qp(
+            qp, n_iter=cfg.qp_iters, parallel_scan=cfg.parallel_scan,
+            mehrotra=cfg.qp_mehrotra,
+        )
 
         new_step = jnp.maximum(jnp.max(jnp.abs(sol.dx)), jnp.max(jnp.abs(sol.du)))
         # Full Newton-type step (acados FIXED_STEP globalization); frozen once the

@@ -138,7 +138,8 @@ def sqp_solve_batch_lanes(
         )
         dx_t, du_t, gap_t = jax.lax.map(
             lambda t: solve_ocp_qp_lanes(
-                t, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol, interpret=interpret
+                t, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
+                mehrotra=cfg.qp_mehrotra, interpret=interpret,
             ),
             tiles,
         )

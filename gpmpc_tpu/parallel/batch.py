@@ -39,17 +39,24 @@ def batched_gpmpc_step(
     states: MpcState,  # leaves with leading batch axis B
     obs: jax.Array,  # (B, nx)
     backend: str = "xla",
+    var_backend: str = "auto",
+    var_bf16: bool = False,
 ):
     """One GP-MPC solve for B scenarios. consts/gp are broadcast (replicated).
 
     backend="lanes" routes QP solves through the lane-packed Pallas kernel
-    (ops/pallas_ocp.py) — the fast path on TPU for B >= 128.
+    (ops/pallas_ocp.py) — the fast path on TPU for B >= 128. var_backend /
+    var_bf16 select the tightening-variance path (control/gpmpc.py::
+    batched_variances).
     """
     from gpmpc_tpu.ops.sqp_lanes import MAX_LANES_HORIZON
 
     T = consts.mpc.uref.shape[0]
     if backend == "lanes" and T <= MAX_LANES_HORIZON:
-        return gpmpc_mod.batched_select_action_lanes(model, cfg, consts, gp, states, obs)
+        return gpmpc_mod.batched_select_action_lanes(
+            model, cfg, consts, gp, states, obs,
+            var_backend=var_backend, var_bf16=var_bf16,
+        )
     # Long horizons exceed the all-resident kernel's VMEM budget: fall back to
     # the XLA path (combine with cfg.parallel_scan for O(log T) depth).
     step = partial(gpmpc_mod.select_action, model, cfg)

@@ -42,10 +42,14 @@ def rollout(env, ctrl, n=30, seed=0):
     return np.asarray(errs)
 
 
-def test_true_model_mpc_tracks_tightly(env):
+def test_true_model_mpc_tracks_tightly():
+    """Solver-quality oracle: with a perfect model of an ideal (pure-ODE) plant,
+    tracking must be tight. Uses EnvParams.ideal() — the default plant carries
+    structural mismatch (lag/drag/delay) that no 12-state model can cancel."""
+    ideal_env = DroneFigureEightEnv(EnvParams.ideal())
     model = symbolic_attitude(dt=0.02, params=TRUE_PARAMS)
-    ctrl = MPC(model, env.trajectory, Q, R, horizon=15, sqp_iters=6, qp_iters=8)
-    errs = rollout(env, ctrl, n=30)
+    ctrl = MPC(model, ideal_env.trajectory, Q, R, horizon=15, sqp_iters=6, qp_iters=8)
+    errs = rollout(ideal_env, ctrl, n=30)
     assert errs[-10:].mean() < 0.05, f"tracking error too high: {errs[-10:].mean()}"
 
 
@@ -133,13 +137,14 @@ def test_select_action_deterministic(env):
     np.testing.assert_array_equal(u1, u2)
 
 
-def test_long_horizon_parallel_scan_controller(env):
+def test_long_horizon_parallel_scan_controller():
     """BASELINE config "2x horizon": T=50 with the O(log T) associative-scan
-    Riccati backend tracks the figure-eight."""
+    Riccati backend tracks the figure-eight (ideal plant: solver-quality test)."""
+    ideal_env = DroneFigureEightEnv(EnvParams.ideal())
     model = symbolic_attitude(dt=0.02, params=TRUE_PARAMS)
-    ctrl = MPC(model, env.trajectory, Q, R, horizon=50, sqp_iters=4, qp_iters=8,
+    ctrl = MPC(model, ideal_env.trajectory, Q, R, horizon=50, sqp_iters=4, qp_iters=8,
                parallel_scan=True)
-    errs = rollout(env, ctrl, n=25)
+    errs = rollout(ideal_env, ctrl, n=25)
     assert np.all(np.isfinite(errs))
     assert errs[-5:].mean() < 0.06, errs[-5:]
 
@@ -159,3 +164,44 @@ def test_gpmpc_ard_option(env):
     ctrl.reset()
     u = ctrl.select_action(np.asarray(env.trajectory[0]))
     assert np.all(np.isfinite(u))
+
+
+def test_clamp_activation_is_reported(env):
+    """When the GP is wildly uncertain, the tightening feasibility clamp fires
+    and its activation MUST surface in MpcInfo.clamp_frac (VERDICT round 1:
+    silent clamping distorts the advertised chance constraint)."""
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=False, seed=0, max_gp_points=16, sqp_iters=2, qp_iters=5,
+    )
+    # Force enormous predictive variance: empty dataset (zero residual mean,
+    # posterior variance = outputscale) with outputscale 1e4.
+    gp = ctrl.gp_model
+    ctrl.gp_model = gp._replace(
+        hypers=gp.hypers._replace(raw_outputscale=jnp.full((3,), 1e4, jnp.float32)),
+        trained=jnp.asarray(True),
+    )
+
+    obs = np.asarray(env.trajectory[0])
+    ctrl.reset()
+    ctrl.select_action(obs)  # step 0: tightening off by contract
+    assert float(ctrl._last_info.clamp_frac) == 0.0
+    u = ctrl.select_action(obs)  # step 1: tightening active and clamped
+    assert np.all(np.isfinite(u))
+    clamp = float(ctrl._last_info.clamp_frac)
+    assert clamp > 0.0, "huge GP variance must trigger (and report) bound clamping"
+    assert clamp <= 1.0
+    # And a healthy GP must not clamp.
+    rng = np.random.default_rng(0)
+    ctrl2 = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=False, seed=0, max_gp_points=16, sqp_iters=2, qp_iters=5,
+    )
+    ctrl2.train_gp(rng.normal(0, 0.3, (12, 7)).astype(np.float32),
+                   (0.01 * rng.normal(0, 1, (12, 3))).astype(np.float32),
+                   lr=0.05, iterations=30)
+    ctrl2.reset()
+    ctrl2.select_action(obs)
+    ctrl2.select_action(obs)
+    assert float(ctrl2._last_info.clamp_frac) == 0.0

@@ -129,6 +129,53 @@ def test_fitc_matches_exact_when_all_inducing():
     np.testing.assert_allclose(np.asarray(mean_fitc), np.asarray(mean_exact), atol=1e-4)
 
 
+def test_fitc_variance_matches_exact_when_all_inducing():
+    """With the full active set as inducing points, the FITC variance form
+    reproduces the exact posterior variance (and stays in [0, sf2])."""
+    from gpmpc_tpu.gp.exact_gp import predict_var
+    from gpmpc_tpu.gp.sparse import fitc_posterior
+
+    data, x, y = make_data(n=15, pad_to=24)
+    h = GPHypers(
+        raw_lengthscale=jnp.asarray(0.4, jnp.float64),
+        raw_outputscale=jnp.asarray(0.3, jnp.float64),
+        raw_noise=jnp.asarray(-1.0, jnp.float64),
+    )
+    idx, s_mask = select_inducing(jax.random.PRNGKey(0), data.mask, 15)
+    Zs, _, W = fitc_posterior(h, data, idx, s_mask)
+    z = np.zeros((6, 3))
+    z[:, :2] = np.random.default_rng(3).normal(size=(6, 2))
+    k = se_kernel(jnp.asarray(z), Zs, h.lengthscale, h.outputscale) * s_mask[None, :]
+    var_fitc = h.outputscale - jnp.einsum("nm,mk,nk->n", k, W, k)
+
+    post = posterior(h, data)
+    var_exact = predict_var(h, data, post, jnp.asarray(z), include_noise=False)
+    np.testing.assert_allclose(np.asarray(var_fitc), np.asarray(var_exact), atol=1e-4)
+    assert np.all(np.asarray(var_fitc) > 0)
+    assert np.all(np.asarray(var_fitc) <= float(h.outputscale) + 1e-6)
+
+
+def test_fitc_variance_subset_is_conservative_approx():
+    """With a strict inducing subset the FITC variance stays positive, bounded
+    by sf2, and close to the exact variance at the inducing points themselves."""
+    from gpmpc_tpu.gp.sparse import fitc_posterior
+
+    data, x, y = make_data(n=20, pad_to=32)
+    h = GPHypers(
+        raw_lengthscale=jnp.asarray(0.5, jnp.float64),
+        raw_outputscale=jnp.asarray(0.2, jnp.float64),
+        raw_noise=jnp.asarray(-1.5, jnp.float64),
+    )
+    idx, s_mask = select_inducing(jax.random.PRNGKey(2), data.mask, 10)
+    Zs, _, W = fitc_posterior(h, data, idx, s_mask)
+    rng = np.random.default_rng(5)
+    z = np.zeros((8, 3))
+    z[:, :2] = rng.normal(size=(8, 2))
+    k = se_kernel(jnp.asarray(z), Zs, h.lengthscale, h.outputscale) * s_mask[None, :]
+    var = np.asarray(h.outputscale - jnp.einsum("nm,mk,nk->n", k, W, k))
+    assert np.all(var > 0) and np.all(var <= float(h.outputscale) + 1e-6)
+
+
 def test_select_inducing_subset_of_active():
     mask = jnp.asarray(np.r_[np.ones(10), np.zeros(22)])
     idx, s_mask = select_inducing(jax.random.PRNGKey(1), mask, 8)

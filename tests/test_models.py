@@ -85,7 +85,11 @@ def test_env_reset_step_shapes_and_determinism():
     s1b, obs, reward, term, trunc = env_step(p, s1, action)
     assert obs.shape == (12,)
     assert not bool(term)
-    # thrust above hover -> climbs
+    # thrust above hover -> climbs, once it clears the actuation delay + rotor
+    # lag of the high-fidelity default plant (a few control periods)
+    s = s1b
+    for _ in range(4):
+        s, obs, *_ = env_step(p, s, action)
     assert float(obs[5]) > float(obs1[5])
 
 

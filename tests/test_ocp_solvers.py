@@ -180,3 +180,42 @@ def test_boxqp_batched_vmap():
     sols = batched(qp)
     single = solve_ocp_qp(jax.tree.map(lambda a: a[1], qp), n_iter=20)
     np.testing.assert_allclose(np.asarray(sols.du[1]), np.asarray(single.du), atol=1e-5)
+
+
+def _make_active_qp(seed):
+    lq = random_lq(seed, dtype=jnp.float64)
+    return OcpQpData(
+        A=lq.A, B=lq.B, r=lq.r, Qxx=lq.Qxx, qx=lq.qx, Ruu=lq.Ruu, ru=lq.ru,
+        lx=jnp.full((T + 1, NX), -3.0, jnp.float64),
+        ux=jnp.full((T + 1, NX), 3.0, jnp.float64),
+        lu=jnp.full((T, NU), -0.2, jnp.float64),
+        uu=jnp.full((T, NU), 0.2, jnp.float64),
+    )
+
+
+def test_mehrotra_matches_fixed_sigma_solution():
+    qp = _make_active_qp(4)
+    sol_fix = jax.jit(lambda q: solve_ocp_qp(q, n_iter=30))(qp)
+    sol_meh = jax.jit(lambda q: solve_ocp_qp(q, n_iter=30, mehrotra=True))(qp)
+    np.testing.assert_allclose(np.asarray(sol_meh.du), np.asarray(sol_fix.du), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sol_meh.dx), np.asarray(sol_fix.dx), atol=1e-5)
+
+
+def test_mehrotra_fewer_iterations_to_tight_gap():
+    """VERDICT item 9 'done' criterion: measured reduction in iterations to
+    gap <= 1e-7 vs the fixed sigma=0.2 baseline."""
+    def iters_to_gap(mehrotra, qp, tol=1e-7, max_iter=30):
+        for n in range(1, max_iter + 1):
+            gap = float(solve_ocp_qp(qp, n_iter=n, mehrotra=mehrotra).gap)
+            if gap <= tol:
+                return n
+        return max_iter + 1
+
+    wins = 0
+    for seed in (4, 5, 6):
+        qp = _make_active_qp(seed)
+        n_fix = iters_to_gap(False, qp)
+        n_meh = iters_to_gap(True, qp)
+        assert n_meh <= n_fix, (seed, n_meh, n_fix)
+        wins += int(n_meh < n_fix)
+    assert wins >= 2, "Mehrotra should strictly reduce iterations on most problems"

@@ -64,3 +64,53 @@ def test_reference_matches_exact_gp_module():
     _, var_kinv = gp_mean_var_reference(*(a.astype(jnp.float64) for a in (z, Z, alpha, K_inv)), ell, sf2, noise, mask.astype(jnp.float64))
     # exact_gp adds a 1e-6*sf2 jitter the numpy K here doesn't have -> small atol
     np.testing.assert_allclose(np.asarray(var_kinv), np.asarray(var_chol), atol=1e-4)
+
+
+def test_batched_variances_pallas_matches_xla():
+    """The hot-path integration: batched_variances routed through the fused
+    Pallas kernel equals the XLA quadratic-form path (exact and FITC modes)."""
+    from gpmpc_tpu.control.gpmpc import batched_variances
+    from gpmpc_tpu.utils.benchkit import synthetic_gp_model
+
+    for sparse in (True, False):
+        gp = synthetic_gp_model(
+            max_points=32, max_inducing=12 if sparse else 32, n_data=24, n_train=10,
+            seed=3,
+        )
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(0, 0.4, (3, 4, 5, 3)).astype(np.float32))
+        v_xla = batched_variances(gp, z, backend="xla")
+        v_pallas = batched_variances(gp, z, backend="pallas", interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(v_pallas), np.asarray(v_xla), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_batched_prepare_step_matches_vmap_prepare_step():
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.utils.benchkit import Q_MPC, R_MPC, reference_prior_dict, synthetic_gp_model
+
+    prior = reference_prior_dict()
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(model, env.trajectory, prior, horizon=6, q_mpc=Q_MPC, r_mpc=R_MPC,
+                 sparse_gp=True, max_gp_samples=10, seed=0, max_gp_points=32,
+                 sqp_iters=2, qp_iters=4)
+    gp = synthetic_gp_model(max_points=32, max_inducing=10, n_data=24, n_train=10)
+    B = 3
+    rng = np.random.default_rng(1)
+    obs = jnp.asarray(env.trajectory[:B] + 0.01 * rng.normal(size=(B, 12)), jnp.float32)
+    states = jax.vmap(lambda i: mpc_mod.init_state(6, 12, 4))(jnp.arange(B))
+    # advance traj_step so tightening is active
+    states = states._replace(
+        traj_step=jnp.ones(B, jnp.int32),
+        X_warm=jnp.tile(obs[:, None, :], (1, 7, 1)),
+    )
+    ref = jax.vmap(lambda s, o: gpmpc_mod.prepare_step(model, ctrl.consts, gp, s, o))(states, obs)
+    got = gpmpc_mod.batched_prepare_step(model, ctrl.consts, gp, states, obs, var_backend="xla")
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)

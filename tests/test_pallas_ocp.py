@@ -169,3 +169,15 @@ def test_lanes_analytic_jac_matches_jacfwd_path():
         model, cfg_a, ctrl.consts, ctrl.gp_model, states, obs, interpret=True
     )
     np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_j), atol=5e-5)
+
+
+def test_lanes_mehrotra_matches_fixed():
+    """Mehrotra predictor-corrector in the lanes kernel reaches (at least) the
+    fixed-sigma solution quality in fewer iterations."""
+    d = make_batch(2)
+    qp_lanes = to_lanes(d)
+    dx_f, du_f, gap_f = solve_ocp_qp_lanes(qp_lanes, n_ip=15, interpret=True)
+    dx_m, du_m, gap_m = solve_ocp_qp_lanes(qp_lanes, n_ip=8, mehrotra=True, interpret=True)
+    assert float(np.max(np.asarray(gap_m))) <= max(float(np.max(np.asarray(gap_f))), 1e-7)
+    np.testing.assert_allclose(np.asarray(du_m), np.asarray(du_f), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dx_m), np.asarray(dx_f), atol=5e-4)
