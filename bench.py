@@ -78,6 +78,12 @@ def main():
     qp_tol = os.environ.get("BENCH_QP_TOL")  # e.g. 1e-7 -> in-kernel adaptive exit
     if qp_tol:
         ctrl.cfg = ctrl.cfg._replace(qp_tol=float(qp_tol))
+    if os.environ.get("BENCH_KERNEL_LIN", "0") == "1":
+        # In-kernel linearization: closed-form Jacobians inside a lanes Pallas
+        # kernel; X/U stay in lanes layout across the SQP loop.
+        ctrl.cfg = ctrl.cfg._replace(kernel_linearize=True)
+    if os.environ.get("BENCH_MEHROTRA", "0") == "1":
+        ctrl.cfg = ctrl.cfg._replace(qp_mehrotra=True)
     if os.environ.get("BENCH_ANALYTIC_JAC", "0") == "1":
         # analytic dynamics Jacobians (models/jacobians.py). Measured SLOWER on
         # TPU at B=512 (19.9k vs 30.8k solves/s): the RK4 Jacobian chain's 12x12

@@ -560,17 +560,38 @@ def batched_select_action_lanes(
     xref, bounds, X_init, U_init, clamp_frac = batched_prepare_step(
         model, consts, gp, states, obs, var_backend=var_backend, var_bf16=var_bf16
     )
-    fd = partial(augmented_fd, model, gp)
-    fd_jac3 = None
-    if cfg.analytic_jac and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
-        # isotropic GP kernels only; the ARD shape falls back to jacfwd
-        from gpmpc_tpu.models.jacobians import make_augmented_fd_jac
-
-        fd_jac3 = make_augmented_fd_jac(model, gp)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
-    sol = sqp_solve_batch_lanes(
-        fd, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret, fd_jac3=fd_jac3
-    )
+    if cfg.kernel_linearize and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
+        # Whole-SQP lanes path: linearization AND QP in Pallas, X/U stay in
+        # lanes layout across SQP iterations (isotropic kernels only).
+        from gpmpc_tpu.models.quadrotor import QuadrotorParams  # noqa: F401
+        from gpmpc_tpu.ops.sqp_lanes import LanesLinearizer, sqp_solve_batch_lanes_fused
+
+        p = model.params
+        params8 = jnp.asarray([p.a, p.b, p.c, p.d, p.e, p.f, p.h, p.l], jnp.float32)
+        ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+        sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+        lin = LanesLinearizer(
+            params8=params8,
+            hyp=jnp.stack([1.0 / (ell * ell), sf2], axis=1),
+            Zs=gp.Zs,
+            alpha=gp.alpha_s,  # zero for the untrained model -> residual vanishes
+            use_gp=True,
+        )
+        sol = sqp_solve_batch_lanes_fused(
+            lin, model.dt, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret
+        )
+    else:
+        fd = partial(augmented_fd, model, gp)
+        fd_jac3 = None
+        if cfg.analytic_jac and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
+            # isotropic GP kernels only; the ARD shape falls back to jacfwd
+            from gpmpc_tpu.models.jacobians import make_augmented_fd_jac
+
+            fd_jac3 = make_augmented_fd_jac(model, gp)
+        sol = sqp_solve_batch_lanes(
+            fd, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret, fd_jac3=fd_jac3
+        )
     new_states = MpcState(
         traj_step=states.traj_step + 1, X_warm=sol.X, U_warm=sol.U
     )

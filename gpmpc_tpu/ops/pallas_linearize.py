@@ -1,0 +1,229 @@
+"""Lane-packed dynamics linearization kernel.
+
+Round-1 measurement: once the QP moved into the lanes kernel, the SQP step's
+dominant cost became dynamics linearization — `jacfwd` pushes 16 tangents
+through every elementwise op of the RK4-discretized GP-augmented dynamics, and
+the analytic-Jacobian alternative (models/jacobians.py) was 35% *slower* via
+XLA because its RK4 chain is batched 12x12 matmuls, exactly the shape XLA lowers
+at <0.1% MXU utilization (the same disease ops/pallas_ocp.py fixes for the QP).
+
+This kernel computes the closed forms of models/jacobians.py in the lanes
+layout: scenarios live on the 128-wide lane axis, so every 12x12 matmul in the
+RK4 Jacobian chain is a full-width VPU broadcast-multiply-accumulate, and the
+SE-kernel posterior mean + gradient of the 3 residual GPs are (Ms, L) VPU
+blocks. One launch linearizes all T stages of a 128-scenario tile:
+
+    (X (T+1,nx,L), U (T,nu,L)) -> fnext (T,nx,L), A (T,nx,nx,L), B (T,nx,nu,L)
+
+ready to feed `solve_ocp_qp_lanes` with no layout churn in between.
+
+Model-specific by design: the quadrotor attitude dynamics of
+models/quadrotor.py (≙ the reference's symbolic model, crazyflow
+symbolic_attitude) plus the GP residual structure of control/gpmpc.py
+(thrust-magnitude GP rotated by (cphi*sth, -sphi, cphi*cth) + phi/theta rate
+GPs, ≙ /root/reference/gpmpc/gpmpc.py:193-197). Isotropic kernels only; the
+generic path stays `jacfwd`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpmpc_tpu.ops.pallas_ocp import _mm
+
+NX = 12
+NU = 4
+GRAVITY = 9.81
+
+
+def _build_mat(rows, n_cols, L, dtype):
+    """rows: dict {(i, j): (L,) value} -> (n_rows, n_cols, L) dense lane matrix."""
+    zero = jnp.zeros((L,), dtype)
+    n_rows = max(i for i, _ in rows) + 1 if rows else 0
+    out_rows = []
+    for i in range(n_rows):
+        cols = [rows.get((i, j), zero) for j in range(n_cols)]
+        out_rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(out_rows, axis=0)
+
+
+def _gp_mean_grad(Zs, alpha, inv_ell2, sf2, z):
+    """SE posterior mean and d(mean)/dz for one GP, lane-vectorized.
+
+    Zs (Ms, 3), alpha (Ms,), z: tuple of 3 (L,) query components.
+    Returns mean (L,), grads tuple of 3 (L,).
+    """
+    d2 = None
+    diffs = []
+    for d in range(3):
+        diff = Zs[:, d : d + 1] - z[d][None, :]  # (Ms, L)
+        diffs.append(diff)
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    k = sf2 * jnp.exp(-0.5 * d2 * inv_ell2)  # (Ms, L)
+    ka = k * alpha[:, None]
+    mean = jnp.sum(ka, axis=0)
+    grads = tuple(jnp.sum(ka * diffs[d], axis=0) * inv_ell2 for d in range(3))
+    return mean, grads
+
+
+def _linearize_kernel_body(
+    T: int, dt: float, use_gp: bool,
+    # refs
+    par_ref,  # (1, 8) plant params [a..l] in SMEM
+    hyp_ref,  # (3, 2) per-GP [inv_ell2, sf2] in SMEM
+    X_ref,  # (T+1, NX, L)
+    U_ref,  # (T, NU, L)
+    Zs_ref,  # (3, Ms, 3)
+    alpha_ref,  # (3, Ms)
+    fnext_ref,  # (T, NX, L) out
+    A_ref,  # (T, NX, NX, L) out
+    B_ref,  # (T, NX, NU, L) out
+):
+    L = X_ref.shape[2]
+    f32 = jnp.float32
+    pa, pb = par_ref[0, 0], par_ref[0, 1]
+    pc, pd_, pe = par_ref[0, 2], par_ref[0, 3], par_ref[0, 4]
+    pf, ph, plc = par_ref[0, 5], par_ref[0, 6], par_ref[0, 7]
+
+    zero = jnp.zeros((L,), f32)
+    one = jnp.ones((L,), f32)
+    eye = jnp.stack(
+        [jnp.stack([one if i == j else zero for j in range(NX)], 0) for i in range(NX)], 0
+    )  # (NX, NX, L)
+
+    def fc_and_jac(x, u):
+        """Continuous dynamics f (NX, L) + Jacobians Jx (NX,NX,L), Ju (NX,NU,L)."""
+        phi, theta, psi = x[6], x[7], x[8]
+        dphi, dtheta, dpsi = x[9], x[10], x[11]
+        u0, u1, u2 = u[0], u[1], u[2]
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+        acc = pa * u0 + pb
+
+        if use_gp:
+            zT = (u0, zero, zero)
+            zR = (phi, dphi, u1)
+            zP = (theta, dtheta, u2)
+            Tp, dT = _gp_mean_grad(
+                Zs_ref[0], alpha_ref[0], hyp_ref[0, 0], hyp_ref[0, 1], zT
+            )
+            Rp, dR = _gp_mean_grad(
+                Zs_ref[1], alpha_ref[1], hyp_ref[1, 0], hyp_ref[1, 1], zR
+            )
+            Pp, dP = _gp_mean_grad(
+                Zs_ref[2], alpha_ref[2], hyp_ref[2, 0], hyp_ref[2, 1], zP
+            )
+            dT0 = dT[0]
+        else:
+            Tp = Rp = Pp = dT0 = zero
+            dR = dP = (zero, zero, zero)
+
+        dd_x = acc * (cphi * sth * cpsi + sphi * spsi) + Tp * cphi * sth
+        dd_y = acc * (cphi * sth * spsi - sphi * cpsi) + Tp * (-sphi)
+        dd_z = acc * cphi * cth - GRAVITY + Tp * cphi * cth
+        dd_phi = pc * phi + pd_ * dphi + pe * u1 + Rp
+        dd_theta = pf * theta + ph * dtheta + plc * u2 + Pp
+
+        f = jnp.stack(
+            [x[1], dd_x, x[3], dd_y, x[5], dd_z, dphi, dtheta, dpsi,
+             dd_phi, dd_theta, zero],
+            axis=0,
+        )
+
+        # Jx entries (≙ models/jacobians.py::prior_jacobians + augmented terms;
+        # the GP residual rotation is the psi=0 slice of the thrust rotation).
+        jx = {
+            (0, 1): one, (2, 3): one, (4, 5): one,
+            (6, 9): one, (7, 10): one, (8, 11): one,
+            (1, 6): acc * (-sphi * sth * cpsi + cphi * spsi) - Tp * sphi * sth,
+            (1, 7): acc * (cphi * cth * cpsi) + Tp * cphi * cth,
+            (1, 8): acc * (-cphi * sth * spsi + sphi * cpsi),
+            (3, 6): acc * (-sphi * sth * spsi - cphi * cpsi) - Tp * cphi,
+            (3, 7): acc * (cphi * cth * spsi),
+            (3, 8): acc * (cphi * sth * cpsi + sphi * spsi),
+            (5, 6): -(acc + Tp) * sphi * cth,
+            (5, 7): -(acc + Tp) * cphi * sth,
+            (9, 6): pc * one + dR[0],
+            (9, 9): pd_ * one + dR[1],
+            (10, 7): pf * one + dP[0],
+            (10, 10): ph * one + dP[1],
+            (11, 11): zero,
+        }
+        ju = {
+            (1, 0): pa * (cphi * sth * cpsi + sphi * spsi) + dT0 * cphi * sth,
+            (3, 0): pa * (cphi * sth * spsi - sphi * cpsi) - dT0 * sphi,
+            (5, 0): pa * cphi * cth + dT0 * cphi * cth,
+            (9, 1): pe * one + dR[2],
+            (10, 2): plc * one + dP[2],
+            (11, 3): zero,
+        }
+        return f, _build_mat(jx, NX, L, f32), _build_mat(ju, NU, L, f32)
+
+    for k in range(T):  # static unroll
+        x = X_ref[k]
+        u = U_ref[k]
+        # RK4 with the analytic chain (≙ models/jacobians.py::rk4_discrete_jacobians)
+        k1, J1x, J1u = fc_and_jac(x, u)
+        x2 = x + 0.5 * dt * k1
+        k2, J2x, J2u = fc_and_jac(x2, u)
+        dk2x = _mm(J2x, eye + 0.5 * dt * J1x)
+        dk2u = _mm(J2x, 0.5 * dt * J1u) + J2u
+        x3 = x + 0.5 * dt * k2
+        k3, J3x, J3u = fc_and_jac(x3, u)
+        dk3x = _mm(J3x, eye + 0.5 * dt * dk2x)
+        dk3u = _mm(J3x, 0.5 * dt * dk2u) + J3u
+        x4 = x + dt * k3
+        k4, J4x, J4u = fc_and_jac(x4, u)
+        dk4x = _mm(J4x, eye + dt * dk3x)
+        dk4u = _mm(J4x, dt * dk3u) + J4u
+
+        fnext_ref[k] = x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        A_ref[k] = eye + dt / 6.0 * (J1x + 2 * dk2x + 2 * dk3x + dk4x)
+        B_ref[k] = dt / 6.0 * (J1u + 2 * dk2u + 2 * dk3u + dk4u)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "use_gp", "interpret"))
+def linearize_ocp_lanes(
+    params8: jax.Array,  # (8,) plant params [a, b, c, d, e, f, h, l]
+    hyp: jax.Array,  # (3, 2) per-GP [1/ell^2, sf2]
+    Zs: jax.Array,  # (3, Ms, 3) mean-inducing inputs
+    alpha: jax.Array,  # (3, Ms) mean weights (zero rows inert)
+    X: jax.Array,  # (T+1, NX, L) lanes-layout state trajectory
+    U: jax.Array,  # (T, NU, L)
+    dt: float,
+    use_gp: bool = True,
+    interpret: bool = False,
+):
+    """Linearize all T stages of a lane tile: (fnext, A, B) in lanes layout."""
+    Tp1, nx, L = X.shape
+    T = Tp1 - 1
+    f32 = jnp.float32
+
+    kernel = functools.partial(_linearize_kernel_body, T, float(dt), use_gp)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
+    fnext, A, B = pl.pallas_call(
+        kernel,
+        in_specs=[sm((1, 8)), sm((3, 2)), vm(), vm(), vm(), vm()],
+        out_specs=[vm(), vm(), vm()],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, NX, L), f32),
+            jax.ShapeDtypeStruct((T, NX, NX, L), f32),
+            jax.ShapeDtypeStruct((T, NX, NU, L), f32),
+        ],
+        interpret=interpret,
+    )(
+        params8.astype(f32)[None, :],
+        hyp.astype(f32),
+        X.astype(f32),
+        U.astype(f32),
+        Zs.astype(f32),
+        alpha.astype(f32),
+    )
+    return fnext, A, B

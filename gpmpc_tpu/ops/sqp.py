@@ -49,6 +49,11 @@ class SqpConfig(NamedTuple):
     # sweeps per iteration, per-scenario adaptive centering, fewer iterations to
     # a given gap (HPIPM's scheme; pair with qp_tol on the lanes backend).
     qp_mehrotra: bool = False
+    # Linearize the dynamics inside a lane-packed Pallas kernel
+    # (ops/pallas_linearize.py) instead of jacfwd, keeping X/U in lanes layout
+    # across the whole SQP loop. Quadrotor+isotropic-GP models only; other
+    # models fall back to jacfwd automatically.
+    kernel_linearize: bool = False
 
 
 class OcpCost(NamedTuple):

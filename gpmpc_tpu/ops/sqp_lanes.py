@@ -56,6 +56,140 @@ def _from_lane_tiles(x: jax.Array, B: int) -> jax.Array:
     return jnp.moveaxis(x, -1, 0)[:B]
 
 
+class LanesLinearizer(NamedTuple):
+    """Inputs for the in-kernel linearizer (ops/pallas_linearize.py): the
+    quadrotor plant coefficients + GP mean data in kernel-ready form."""
+
+    params8: jax.Array  # (8,) [a, b, c, d, e, f, h, l]
+    hyp: jax.Array  # (3, 2) per-GP [1/ell^2, sf2]
+    Zs: jax.Array  # (3, Ms, 3)
+    alpha: jax.Array  # (3, Ms)
+    use_gp: bool  # static
+
+
+def sqp_solve_batch_lanes_fused(
+    lin: LanesLinearizer,
+    dt: float,
+    cost: OcpCost,  # xref batched over B; Q/R/scale shared; uref (T, nu) shared
+    bounds: OcpBounds,  # leaves batched over B
+    x0: jax.Array,  # (B, nx)
+    X_init: jax.Array,  # (B, T+1, nx)
+    U_init: jax.Array,  # (B, T, nu)
+    cfg: SqpConfig,
+    interpret: bool = False,
+) -> SqpSolution:
+    """Whole-SQP lanes path: dynamics linearization AND the IP QP run as lane-
+    packed Pallas kernels, with X/U staying in lanes layout across all SQP
+    iterations — no jacfwd, no per-iteration repacking (the round-1 hot spots
+    after the QP moved on-chip).
+    """
+    from gpmpc_tpu.ops.pallas_linearize import linearize_ocp_lanes
+
+    B, Tp1, nx = X_init.shape
+    T = Tp1 - 1
+    nu = U_init.shape[2]
+    dtype = X_init.dtype
+    lanes = _lane_width(T)
+    B_pad = B + ((-B) % lanes)
+    n_tiles = B_pad // lanes
+
+    q_diag_stage = jnp.diagonal(cost.Q)
+    qe_diag = jnp.diagonal(cost.Qe)
+    r_diag = jnp.diagonal(cost.R)
+    scale = cost.scale
+    qdiag = jnp.concatenate(
+        [scale[:-1, None] * q_diag_stage[None], (scale[-1] * qe_diag)[None]], axis=0
+    )  # (T+1, nx)
+    rdiag = scale[:-1, None] * r_diag[None]  # (T, nu)
+
+    def pad_b(x):
+        return jnp.pad(x, [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1))
+
+    pack = lambda x: _to_lane_tiles(pad_b(x), n_tiles, lanes)
+    # One-time packing of everything the SQP loop touches.
+    X_l = pack(X_init)  # (n_tiles, T+1, nx, L)
+    U_l = pack(U_init)
+    x0_l = pack(x0)  # (n_tiles, nx, L)
+    xref_l = pack(cost.xref)
+    lx_l, ux_l = pack(bounds.lx), pack(bounds.ux)
+    lu_l, uu_l = pack(bounds.lu), pack(bounds.uu)
+    qdiag_l = jnp.broadcast_to(qdiag[None, :, :, None], (n_tiles, T + 1, nx, lanes))
+    rdiag_l = jnp.broadcast_to(rdiag[None, :, :, None], (n_tiles, T, nu, lanes))
+    uref_l = jnp.broadcast_to(cost.uref[None, :, :, None], (n_tiles, T, nu, lanes))
+
+    big = jnp.asarray(BOUND_INF, dtype)
+
+    def tile_iter(args):
+        X, U, x0_t, xref, lx, ux, lu, uu = args
+        X = X.at[0].set(x0_t)
+        fnext, A, Bm = linearize_ocp_lanes(
+            lin.params8, lin.hyp, lin.Zs, lin.alpha, X, U,
+            dt=dt, use_gp=lin.use_gp, interpret=interpret,
+        )
+        defect = fnext - X[1:]
+        qx = qdiag_l[0] * (X - xref)
+        ru = rdiag_l[0] * (U - uref_l[0])
+        lx_d = (lx - X).at[0].set(-big)
+        ux_d = (ux - X).at[0].set(big)
+        qp = LanesQp(
+            A=A, B=Bm, r=defect, qdiag=qdiag_l[0], qx=qx, rdiag=rdiag_l[0], ru=ru,
+            lx=lx_d, ux=ux_d, lu=lu - U, uu=uu - U,
+        )
+        dx, du, gap = solve_ocp_qp_lanes(
+            qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
+            mehrotra=cfg.qp_mehrotra, interpret=interpret,
+        )
+        return dx, du, gap
+
+    def body(carry):
+        X, U, converged, step_norm, qp_gap, n_iters = carry
+        dx, du, gap = jax.lax.map(
+            tile_iter, (X, U, x0_l, xref_l, lx_l, ux_l, lu_l, uu_l)
+        )
+        new_step = jnp.maximum(
+            jnp.max(jnp.abs(dx), axis=(1, 2)), jnp.max(jnp.abs(du), axis=(1, 2))
+        )  # (n_tiles, L)
+        active = jnp.logical_not(converged)  # (n_tiles, L)
+        act_b = active[:, None, None, :]
+        X = jnp.where(act_b, X + dx, X)
+        U = jnp.where(act_b, U + du, U)
+        step_norm = jnp.where(active, new_step, step_norm)
+        qp_gap = jnp.where(active, gap, qp_gap)
+        n_iters = n_iters + active.astype(jnp.int32)
+        converged = jnp.logical_or(converged, new_step < cfg.step_tol)
+        return (X, U, converged, step_norm, qp_gap, n_iters)
+
+    init = (
+        X_l, U_l,
+        jnp.zeros((n_tiles, lanes), bool),
+        jnp.full((n_tiles, lanes), jnp.inf, dtype),
+        jnp.full((n_tiles, lanes), jnp.inf, dtype),
+        jnp.zeros((n_tiles, lanes), jnp.int32),
+    )
+    if cfg.early_exit:
+        def cond(carry):
+            _, _, converged, _, _, n_iters = carry
+            return jnp.logical_and(
+                jnp.max(n_iters) < cfg.sqp_iters, jnp.logical_not(jnp.all(converged))
+            )
+
+        X, U, _, step_norm, qp_gap, n_iters = jax.lax.while_loop(cond, body, init)
+    else:
+        carry = init
+        for _ in range(cfg.sqp_iters):
+            carry = body(carry)
+        X, U, _, step_norm, qp_gap, n_iters = carry
+
+    X = X.at[:, 0, :, :].set(x0_l)
+    unpack = lambda x: _from_lane_tiles(x, B)
+    return SqpSolution(
+        X=unpack(X), U=unpack(U),
+        step_norm=_from_lane_tiles(step_norm[:, None, :], B)[:, 0],
+        qp_gap=_from_lane_tiles(qp_gap[:, None, :], B)[:, 0],
+        n_iters=_from_lane_tiles(n_iters[:, None, :], B)[:, 0],
+    )
+
+
 def sqp_solve_batch_lanes(
     fd: Callable[[jax.Array, jax.Array], jax.Array],
     cost: OcpCost,  # leaves batched over B (xref/uref) or shared (Q/R/scale)

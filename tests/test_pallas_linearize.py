@@ -1,0 +1,128 @@
+"""Parity: lane-packed linearization kernel vs jacfwd and analytic-chain paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.control.gpmpc import augmented_fd
+from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+from gpmpc_tpu.models.symbolic import symbolic_attitude
+from gpmpc_tpu.ops.pallas_linearize import linearize_ocp_lanes
+from gpmpc_tpu.utils.benchkit import reference_prior_dict, synthetic_gp_model
+
+L = 128
+T = 5
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 0.3, (T + 1, 12, L)).astype(np.float32)
+    U = np.stack(
+        [
+            rng.uniform(0.15, 0.55, (T, L)),
+            rng.uniform(-0.3, 0.3, (T, L)),
+            rng.uniform(-0.3, 0.3, (T, L)),
+            rng.uniform(-0.3, 0.3, (T, L)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(U)
+
+
+def kernel_args(gp):
+    prior = reference_prior_dict()
+    params8 = jnp.asarray([prior[k] for k in "abcdefhl"], jnp.float32)
+    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+    hyp = jnp.stack([1.0 / (ell * ell), sf2], axis=1)  # (3, 2)
+    return params8, hyp
+
+
+def test_linearize_lanes_matches_jacfwd():
+    prior = reference_prior_dict()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    gp = synthetic_gp_model(max_points=32, max_inducing=12, n_data=24, n_train=10)
+    X, U = make_inputs(0)
+
+    params8, hyp = kernel_args(gp)
+    fnext, A, B = linearize_ocp_lanes(
+        params8, hyp, gp.Zs, gp.alpha_s, X, U, dt=0.02, use_gp=True, interpret=True
+    )
+
+    # Reference: jacfwd through the jnp augmented dynamics, per (stage, lane).
+    fd = lambda x, u: augmented_fd(model, gp, x, u)
+    fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
+    fd_batch = jax.vmap(jax.vmap(fd))
+    Xb = jnp.moveaxis(X[:-1], -1, 0)  # (L, T, 12)
+    Ub = jnp.moveaxis(U, -1, 0)
+    A_ref, B_ref = fd_jac(Xb, Ub)  # (L, T, 12, 12), (L, T, 12, 4)
+    f_ref = fd_batch(Xb, Ub)
+
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(fnext), -1, 0), np.asarray(f_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(A), -1, 0), np.asarray(A_ref), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(B), -1, 0), np.asarray(B_ref), atol=2e-4
+    )
+
+
+def test_linearize_lanes_prior_only():
+    """use_gp=False must equal jacfwd of the bare prior dynamics."""
+    prior = reference_prior_dict()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    gp = synthetic_gp_model(max_points=32, max_inducing=12, n_data=24, n_train=10)
+    X, U = make_inputs(1)
+    params8, hyp = kernel_args(gp)
+    fnext, A, B = linearize_ocp_lanes(
+        params8, hyp, gp.Zs, gp.alpha_s, X, U, dt=0.02, use_gp=False, interpret=True
+    )
+    fd = model.fd_func
+    fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
+    Xb = jnp.moveaxis(X[:-1], -1, 0)
+    Ub = jnp.moveaxis(U, -1, 0)
+    A_ref, B_ref = fd_jac(Xb, Ub)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(A), -1, 0), np.asarray(A_ref), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(B), -1, 0), np.asarray(B_ref), atol=2e-4
+    )
+
+
+def test_fused_lanes_step_matches_standard_lanes_step():
+    """batched_select_action_lanes with kernel_linearize=True must match the
+    jacfwd-based lanes path on the same batch."""
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.utils.benchkit import Q_MPC, R_MPC
+
+    prior = reference_prior_dict()
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(model, env.trajectory, prior, horizon=6, q_mpc=Q_MPC, r_mpc=R_MPC,
+                 sparse_gp=True, max_gp_samples=10, seed=0, max_gp_points=32,
+                 sqp_iters=3, qp_iters=6)
+    gp = synthetic_gp_model(max_points=32, max_inducing=10, n_data=24, n_train=10)
+    B = 4
+    rng = np.random.default_rng(0)
+    obs = jnp.asarray(
+        np.asarray(env.trajectory[:B]) + 0.01 * rng.normal(size=(B, 12)), jnp.float32
+    )
+    states = jax.vmap(lambda i: mpc_mod.init_state(6, 12, 4))(jnp.arange(B))
+
+    cfg_std = ctrl.cfg
+    cfg_fused = ctrl.cfg._replace(kernel_linearize=True)
+    u_std, st_std, info_std = gpmpc_mod.batched_select_action_lanes(
+        model, cfg_std, ctrl.consts, gp, states, obs, interpret=True
+    )
+    u_fus, st_fus, info_fus = gpmpc_mod.batched_select_action_lanes(
+        model, cfg_fused, ctrl.consts, gp, states, obs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_fus), np.asarray(u_std), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_fus.X_warm), np.asarray(st_std.X_warm), atol=5e-3
+    )
