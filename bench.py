@@ -73,16 +73,20 @@ def main():
     from gpmpc_tpu.envs import drone
 
     B = int(os.environ.get("BENCH_BATCH", "512"))
-    n_timed_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    # 30 steps ≈ 0.5 s of work at the default config: the ~27 ms fixed
+    # device_get RTT of the axon tunnel (measured) stays <6% of the window.
+    n_timed_steps = int(os.environ.get("BENCH_STEPS", "30"))
     backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
     qp_tol = os.environ.get("BENCH_QP_TOL")  # e.g. 1e-7 -> in-kernel adaptive exit
     if qp_tol:
         ctrl.cfg = ctrl.cfg._replace(qp_tol=float(qp_tol))
-    if os.environ.get("BENCH_KERNEL_LIN", "0") == "1":
+    if os.environ.get("BENCH_KERNEL_LIN", "1") == "1":
         # In-kernel linearization: closed-form Jacobians inside a lanes Pallas
-        # kernel; X/U stay in lanes layout across the SQP loop.
+        # kernel; X/U stay in lanes layout across the SQP loop. Default-on:
+        # measured 33.6k vs 30.8k solves/s at the default config (honest
+        # device_get barrier), parity-locked by tests/test_pallas_linearize.py.
         ctrl.cfg = ctrl.cfg._replace(kernel_linearize=True)
-    if os.environ.get("BENCH_MEHROTRA", "0") == "1":
+    if os.environ.get("BENCH_MEHROTRA", "1") == "1":
         ctrl.cfg = ctrl.cfg._replace(qp_mehrotra=True)
     if os.environ.get("BENCH_ANALYTIC_JAC", "0") == "1":
         # analytic dynamics Jacobians (models/jacobians.py). Measured SLOWER on
@@ -119,12 +123,16 @@ def main():
     # warm-started tightening-active regime).
     for _ in range(2):
         env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
-    u.block_until_ready()
+    jax.device_get(u)
 
+    # Timing barrier: device_get, NOT block_until_ready — under the remote
+    # (axon) TPU tunnel block_until_ready returns immediately (measured: a 6 s
+    # matmul chain "completes" in 0.1 ms), so only a device->host fetch of the
+    # final step's output proves the whole data-chained sequence executed.
     t0 = time.perf_counter()
     for _ in range(n_timed_steps):
         env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
-    u.block_until_ready()
+    jax.device_get(u)
     dt_total = time.perf_counter() - t0
 
     solves_per_sec = B * n_timed_steps / dt_total

@@ -560,8 +560,18 @@ def batched_select_action_lanes(
     xref, bounds, X_init, U_init, clamp_frac = batched_prepare_step(
         model, consts, gp, states, obs, var_backend=var_backend, var_bf16=var_bf16
     )
+    from gpmpc_tpu.ops.sqp_lanes import MAX_FUSED_HORIZON
+
+    T = c.uref.shape[0]
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
-    if cfg.kernel_linearize and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
+    # The fused kernel-linearize path statically unrolls stages with all A/B
+    # outputs VMEM-resident — measured scoped-VMEM OOM at T=50 — so it is capped
+    # at MAX_FUSED_HORIZON; longer horizons take the jacfwd + lanes-QP path.
+    if (
+        cfg.kernel_linearize
+        and T <= MAX_FUSED_HORIZON
+        and jnp.ndim(gp.hypers.raw_lengthscale) == 1
+    ):
         # Whole-SQP lanes path: linearization AND QP in Pallas, X/U stay in
         # lanes layout across SQP iterations (isotropic kernels only).
         from gpmpc_tpu.models.quadrotor import QuadrotorParams  # noqa: F401

@@ -336,6 +336,462 @@ def _ip_kernel_body(
     ) / m_total
 
 
+def _ip_kernel_body_streamed(
+    n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol, mehrotra: bool,
+    C: int,
+    # refs: qp data — A/B live in HBM (ANY) and are DMA-streamed per chunk
+    A_hbm, B_hbm, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
+    lx_ref, ux_ref, lu_ref, uu_ref,
+    # outputs
+    dx_out, du_out, gap_out,
+    # scratch (fixed part; mehrotra adds ddxa_s/ddua_s before the DMA buffers)
+    *scratch,
+):
+    """Same IP algorithm as `_ip_kernel_body`, reorganized for a long-horizon
+    VMEM budget. Two rules shape everything here:
+
+    1. A/B never reside: each Riccati sweep / rollout consumes them through
+       double-buffered C-stage DMA chunks from HBM.
+    2. No full-horizon temporaries: every elementwise phase (complementarity
+       corrections, qhat/rhat staging, step-length mins, state update, gap) is
+       a fori_loop over stages holding only (nx|nu, L)-sized values. The
+       resident kernel's whole-array expressions cost it ~0.36 MB of scoped
+       VMEM *per stage* (measured 36.45M at T=100 vs the 16M core limit);
+       here the corrections are recomputed per stage from the resident state
+       instead of stored — a few extra VPU FLOPs against ~20 MB of stack.
+    """
+    (
+        dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
+        K_s, kff_s, rdyn_s, mu_s, ddx_s, ddu_s,
+    ) = scratch[:16]
+    if mehrotra:
+        ddxa_s, ddua_s, Abuf, Bbuf, dma_sem = scratch[16:]
+    else:
+        Abuf, Bbuf, dma_sem = scratch[16:]
+        ddxa_s = ddua_s = None
+
+    T = r_ref.shape[0]
+    nx = r_ref.shape[1]
+    nu = rdiag_ref.shape[1]
+    L = r_ref.shape[2]
+    n_chunks = T // C
+    f32 = jnp.float32
+
+    # ---- DMA plumbing: double-buffered chunks of C stages of (A, B) ----
+    def _ab_copies(slot, ci):
+        a = pltpu.make_async_copy(
+            A_hbm.at[pl.ds(ci * C, C)], Abuf.at[slot], dma_sem.at[slot, 0]
+        )
+        b = pltpu.make_async_copy(
+            B_hbm.at[pl.ds(ci * C, C)], Bbuf.at[slot], dma_sem.at[slot, 1]
+        )
+        return a, b
+
+    def start_ab(slot, ci):
+        a, b = _ab_copies(slot, ci)
+        a.start()
+        b.start()
+
+    def wait_ab(slot, ci):
+        a, b = _ab_copies(slot, ci)
+        a.wait()
+        b.wait()
+
+    # ---- init (identical to the resident kernel) ----
+    s_min = 1e-2
+    dx_s[...] = jnp.zeros((T + 1, nx, L), f32)
+    du_s[...] = jnp.zeros((T, nu, L), f32)
+    slx_s[...] = jnp.maximum(-lx_ref[...], s_min)
+    sux_s[...] = jnp.maximum(ux_ref[...], s_min)
+    slu_s[...] = jnp.maximum(-lu_ref[...], s_min)
+    suu_s[...] = jnp.maximum(uu_ref[...], s_min)
+    llx_s[...] = mu0 / slx_s[...]
+    lux_s[...] = mu0 / sux_s[...]
+    llu_s[...] = mu0 / slu_s[...]
+    luu_s[...] = mu0 / suu_s[...]
+    m_total = 2.0 * ((T + 1) * nx + T * nu)
+
+    eye_x = jnp.eye(nx, dtype=f32)[:, :, None]
+    eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
+
+    def ratio(v, d, t):
+        return jnp.where(d < 0, -t * v / jnp.minimum(d, -1e-30), jnp.inf)
+
+    # ---- per-stage slack/dual algebra (x-type: stage k in 0..T) ----
+    # Each helper returns only (nx|nu, L) values; nothing horizon-sized.
+
+    def x_parts(k):
+        slx_k, sux_k = slx_s[k], sux_s[k]
+        llx_k, lux_k = llx_s[k], lux_s[k]
+        r_sl = dx_s[k] - lx_ref[k] - slx_k
+        r_su = ux_ref[k] - dx_s[k] - sux_k
+        return slx_k, sux_k, llx_k, lux_k, r_sl, r_su
+
+    def u_parts(k):
+        slu_k, suu_k = slu_s[k], suu_s[k]
+        llu_k, luu_k = llu_s[k], luu_s[k]
+        r_sl = du_s[k] - lu_ref[k] - slu_k
+        r_su = uu_ref[k] - du_s[k] - suu_k
+        return slu_k, suu_k, llu_k, luu_k, r_sl, r_su
+
+    def rc_pair(parts, dda_k, mode, mu, target):
+        """Complementarity corrections (lower, upper) at one stage.
+        mode: 'fixed' (sigma-centering), 'affine', 'corrector' (Mehrotra, needs
+        dda_k = the stage's affine direction to rebuild ds_a/dl_a)."""
+        s_l, s_u, l_l, l_u, r_sl, r_su = parts
+        c_l = s_l * l_l
+        c_u = s_u * l_u
+        if mode == "fixed":
+            return c_l - mu[None, :], c_u - mu[None, :]
+        if mode == "corrector":
+            ds_l = dda_k + r_sl
+            ds_u = r_su - dda_k
+            dl_l = -(s_l * l_l + l_l * ds_l) / s_l
+            dl_u = -(s_u * l_u + l_u * ds_u) / s_u
+            return (
+                c_l + ds_l * dl_l - target[None, :],
+                c_u + ds_u * dl_u - target[None, :],
+            )
+        return c_l, c_u  # affine
+
+    def corr_of(parts, rc_l, rc_u):
+        s_l, s_u, l_l, l_u, r_sl, r_su = parts
+        return (rc_l + l_l * r_sl) / s_l - (rc_u + l_u * r_su) / s_u
+
+    def dsdl_of(parts, rc_l, rc_u, dd_k):
+        s_l, s_u, l_l, l_u, r_sl, r_su = parts
+        ds_l = dd_k + r_sl
+        ds_u = r_su - dd_k
+        dl_l = -(rc_l + l_l * ds_l) / s_l
+        dl_u = -(rc_u + l_u * ds_u) / s_u
+        return ds_l, ds_u, dl_l, dl_u
+
+    def x_corr_sig(k, mode, mu, target):
+        parts = x_parts(k)
+        dda_k = ddxa_s[k] if mode == "corrector" else None
+        rc_l, rc_u = rc_pair(parts, dda_k, mode, mu, target)
+        corr = corr_of(parts, rc_l, rc_u)
+        sig = parts[2] / parts[0] + parts[3] / parts[1]
+        return corr, sig
+
+    def u_corr_sig(k, mode, mu, target):
+        parts = u_parts(k)
+        dda_k = ddua_s[k] if mode == "corrector" else None
+        rc_l, rc_u = rc_pair(parts, dda_k, mode, mu, target)
+        corr = corr_of(parts, rc_l, rc_u)
+        sig = parts[2] / parts[0] + parts[3] / parts[1]
+        return corr, sig
+
+    # ---- streamed Riccati sweep: corrections/qhat/sigma built per stage ----
+    def backward(mode, mu, target, compute_rdyn: bool):
+        start_ab(0, n_chunks - 1)
+        corr_T, sig_T = x_corr_sig(T, mode, mu, target)
+        P0 = eye_x * (qdiag_ref[T] + sig_T)[None, :, :]
+        p0 = qdiag_ref[T] * dx_s[T] + qx_ref[T] - llx_s[T] + lux_s[T] + corr_T
+
+        def chunk_body(i, Pp):
+            ci = n_chunks - 1 - i
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(ci > 0)
+            def _():
+                start_ab(1 - slot, ci - 1)
+
+            wait_ab(slot, ci)
+
+            def stage_body(j, Pp):
+                P, p = Pp
+                kk = C - 1 - j
+                k = ci * C + kk
+                Ak = Abuf[slot, kk]
+                Bk = Bbuf[slot, kk]
+                if compute_rdyn:
+                    rdyn_s[k] = (
+                        _mv(Ak, dx_s[k]) + _mv(Bk, du_s[k]) + r_ref[k] - dx_s[k + 1]
+                    )
+                corr_x, sig_x = x_corr_sig(k, mode, mu, target)
+                corr_u, sig_u = u_corr_sig(k, mode, mu, target)
+                qhat = qdiag_ref[k] * dx_s[k] + qx_ref[k] - llx_s[k] + lux_s[k] + corr_x
+                rhat = rdiag_ref[k] * du_s[k] + ru_ref[k] - llu_s[k] + luu_s[k] + corr_u
+                Fr_p = _mv(P, rdyn_s[k]) + p
+                AtP = _mm(_t(Ak), P)
+                BtP = _mm(_t(Bk), P)
+                Gxx = _mm(AtP, Ak) + eye_x * (qdiag_ref[k] + sig_x)[None, :, :]
+                Guu = _mm(BtP, Bk) + eye_u * (rdiag_ref[k] + sig_u)[None, :, :]
+                Gxu = _mm(AtP, Bk)
+                gx = qhat + _mv(_t(Ak), Fr_p)
+                gu = rhat + _mv(_t(Bk), Fr_p)
+                rhs = jnp.concatenate([_t(Gxu), gu[:, None, :]], axis=1)
+                sol = _chol4_solve(Guu, rhs)
+                K = -sol[:, :nx, :]
+                kff = -sol[:, nx, :]
+                K_s[k] = K
+                kff_s[k] = kff
+                P = Gxx + _mm(Gxu, K)
+                P = 0.5 * (P + _t(P))
+                p = gx + _mv(Gxu, kff)
+                return (P, p)
+
+            return jax.lax.fori_loop(0, C, stage_body, Pp)
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (P0, p0))
+
+    def forward(ddx_ref, ddu_ref):
+        start_ab(0, 0)
+        ddx_ref[0] = jnp.zeros((nx, L), f32)
+
+        def chunk_body(ci, ddx_prev):
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci < n_chunks - 1)
+            def _():
+                start_ab(1 - slot, ci + 1)
+
+            wait_ab(slot, ci)
+
+            def stage_body(kk, ddx_prev):
+                k = ci * C + kk
+                ddu = _mv(K_s[k], ddx_prev) + kff_s[k]
+                ddx_next = (
+                    _mv(Abuf[slot, kk], ddx_prev) + _mv(Bbuf[slot, kk], ddu) + rdyn_s[k]
+                )
+                ddu_ref[k] = ddu
+                ddx_ref[k + 1] = ddx_next
+                return ddx_next
+
+            return jax.lax.fori_loop(0, C, stage_body, ddx_prev)
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros((nx, L), f32))
+
+    # ---- stage-looped elementwise phases (no horizon-sized temporaries) ----
+    def steps_pass(ddx_ref, ddu_ref, mode, mu, target, t):
+        """Fraction-to-boundary step lengths over all stages: running (L,) mins."""
+
+        def body(k, carry):
+            a_p, a_d = carry
+            px = x_parts(k)
+            dda_k = ddxa_s[k] if mode == "corrector" else None
+            rcx = rc_pair(px, dda_k, mode, mu, target)
+            dsx = dsdl_of(px, *rcx, ddx_ref[k])
+            a_p = jnp.minimum(a_p, jnp.min(ratio(px[0], dsx[0], t), axis=0))
+            a_p = jnp.minimum(a_p, jnp.min(ratio(px[1], dsx[1], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(px[2], dsx[2], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(px[3], dsx[3], t), axis=0))
+
+            ku = jnp.minimum(k, T - 1)
+            pu = u_parts(ku)
+            ddau_k = ddua_s[ku] if mode == "corrector" else None
+            rcu = rc_pair(pu, ddau_k, mode, mu, target)
+            dsu = dsdl_of(pu, *rcu, ddu_ref[ku])
+            in_range = k < T
+            big = jnp.full((L,), jnp.inf, f32)
+            a_p = jnp.minimum(a_p, jnp.where(in_range, jnp.min(ratio(pu[0], dsu[0], t), axis=0), big))
+            a_p = jnp.minimum(a_p, jnp.where(in_range, jnp.min(ratio(pu[1], dsu[1], t), axis=0), big))
+            a_d = jnp.minimum(a_d, jnp.where(in_range, jnp.min(ratio(pu[2], dsu[2], t), axis=0), big))
+            a_d = jnp.minimum(a_d, jnp.where(in_range, jnp.min(ratio(pu[3], dsu[3], t), axis=0), big))
+            return a_p, a_d
+
+        ones = jnp.ones((L,), f32)
+        return jax.lax.fori_loop(0, T + 1, body, (ones, ones))
+
+    def gap_pass():
+        """Current complementarity sum over all stages -> (L,)."""
+
+        def body(k, g):
+            g = g + jnp.sum(slx_s[k] * llx_s[k] + sux_s[k] * lux_s[k], axis=0)
+            ku = jnp.minimum(k, T - 1)
+            gu = jnp.sum(slu_s[ku] * llu_s[ku] + suu_s[ku] * luu_s[ku], axis=0)
+            return g + jnp.where(k < T, gu, 0.0)
+
+        return jax.lax.fori_loop(0, T + 1, body, jnp.zeros((L,), f32)) / m_total
+
+    def affine_gap_pass(ap_a, ad_a):
+        """Predicted complementarity after the affine step -> (L,)."""
+
+        def one(parts, rc, dd_k, ap, ad):
+            ds = dsdl_of(parts, *rc, dd_k)
+            return jnp.sum(
+                (parts[0] + ap * ds[0]) * (parts[2] + ad * ds[2])
+                + (parts[1] + ap * ds[1]) * (parts[3] + ad * ds[3]),
+                axis=0,
+            )
+
+        def body(k, g):
+            px = x_parts(k)
+            rcx = rc_pair(px, None, "affine", None, None)
+            g = g + one(px, rcx, ddxa_s[k], ap_a[None, :], ad_a[None, :])
+            ku = jnp.minimum(k, T - 1)
+            pu = u_parts(ku)
+            rcu = rc_pair(pu, None, "affine", None, None)
+            gu = one(pu, rcu, ddua_s[ku], ap_a[None, :], ad_a[None, :])
+            return g + jnp.where(k < T, gu, 0.0)
+
+        return jax.lax.fori_loop(0, T + 1, body, jnp.zeros((L,), f32)) / m_total
+
+    def update_pass(mode, mu, target, a_p, a_d):
+        """Apply the step: per-stage recompute of ds/dl, then in-place update."""
+        ap = a_p[None, :]
+        ad = a_d[None, :]
+
+        def body(k, _):
+            px = x_parts(k)
+            dda_k = ddxa_s[k] if mode == "corrector" else None
+            rcx = rc_pair(px, dda_k, mode, mu, target)
+            dsx = dsdl_of(px, *rcx, ddx_s[k])
+            dx_s[k] = dx_s[k] + ap * ddx_s[k]
+            slx_s[k] = px[0] + ap * dsx[0]
+            sux_s[k] = px[1] + ap * dsx[1]
+            llx_s[k] = px[2] + ad * dsx[2]
+            lux_s[k] = px[3] + ad * dsx[3]
+
+            @pl.when(k < T)
+            def _():
+                pu = u_parts(k)
+                ddau_k = ddua_s[k] if mode == "corrector" else None
+                rcu = rc_pair(pu, ddau_k, mode, mu, target)
+                dsu = dsdl_of(pu, *rcu, ddu_s[k])
+                du_s[k] = du_s[k] + ap * ddu_s[k]
+                slu_s[k] = pu[0] + ap * dsu[0]
+                suu_s[k] = pu[1] + ap * dsu[1]
+                llu_s[k] = pu[2] + ad * dsu[2]
+                luu_s[k] = pu[3] + ad * dsu[3]
+
+            return 0
+
+        jax.lax.fori_loop(0, T + 1, body, 0)
+
+    def ip_iter_body(mu):
+        if mehrotra:
+            gap_now = gap_pass()
+            backward("affine", None, None, compute_rdyn=True)
+            forward(ddxa_s, ddua_s)
+            ap_a, ad_a = steps_pass(ddxa_s, ddua_s, "affine", None, None, 1.0)
+            gap_aff = affine_gap_pass(ap_a, ad_a)
+            sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
+            target = jnp.maximum(sig * gap_now, 1e-14)
+            backward("corrector", None, target, compute_rdyn=False)
+            forward(ddx_s, ddu_s)
+            a_p, a_d = steps_pass(ddx_s, ddu_s, "corrector", None, target, tau)
+            update_pass("corrector", None, target, a_p, a_d)
+        else:
+            backward("fixed", mu, None, compute_rdyn=True)
+            forward(ddx_s, ddu_s)
+            a_p, a_d = steps_pass(ddx_s, ddu_s, "fixed", mu, None, tau)
+            update_pass("fixed", mu, None, a_p, a_d)
+        return jnp.maximum(sigma * gap_pass(), 1e-12)
+
+    if adaptive_tol is None:
+        jax.lax.fori_loop(
+            0, n_ip, lambda it, mu: ip_iter_body(mu), jnp.full((L,), mu0, f32)
+        )
+    else:
+        mu_s[0, :] = jnp.full((L,), mu0, f32)
+
+        def ip_iter_adaptive(it, _):
+            mu = mu_s[0, :]
+            active = jnp.logical_not(jnp.all(mu <= adaptive_tol))
+
+            @pl.when(active)
+            def _():
+                mu_s[0, :] = ip_iter_body(mu)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_ip, ip_iter_adaptive, 0)
+    dx_out[...] = dx_s[...]
+    du_out[...] = du_s[...]
+    gap_out[0, :] = gap_pass()
+
+
+def _stream_chunk_size(T: int) -> int:
+    """Largest divisor of T ≤ 8 — the per-buffer stage count for A/B streaming.
+    Divisibility keeps every DMA the same static size (no ragged last chunk)."""
+    for c in range(min(8, T), 0, -1):
+        if T % c == 0:
+            return c
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "interpret"),
+)
+def solve_ocp_qp_lanes_streamed(
+    qp: LanesQp,
+    n_ip: int = 15,
+    mu0: float = 1e-1,
+    sigma: float = 0.2,
+    tau: float = 0.995,
+    adaptive_tol: float | None = None,
+    mehrotra: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Long-horizon variant of `solve_ocp_qp_lanes`: identical IP semantics, but
+    the per-stage dynamics matrices A (T,nx,nx,L) and B (T,nx,nu,L) — 96 KiB per
+    stage at L=128, the tensors that wall the all-resident kernel at T≈50 — stay
+    in HBM and are streamed through double-buffered VMEM chunks by async DMA in
+    each Riccati sweep and rollout. Everything that persists across IP iterations
+    (slacks, duals, iterates, gains K) remains VMEM-resident, and the dynamics-
+    residual staging is fused into the first backward sweep of each iteration, so
+    one Newton solve costs exactly two A/B streams (backward + forward).
+
+    Per-chunk DMA (2·C·96 KiB) overlaps the ~C·3.5 µs of VPU work per chunk, so
+    the stream adds bandwidth, not latency. Horizon cap moves from VMEM capacity
+    (T≈50) to the resident vector state (~100 KiB/stage → T≈128 on a 16 MiB core).
+    """
+    T, nx, _, L = qp.A.shape
+    nu = qp.B.shape[2]
+    f32 = jnp.float32
+    C = _stream_chunk_size(T)
+
+    kernel = functools.partial(
+        _ip_kernel_body_streamed, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra, C
+    )
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((T + 1, nx, L), f32),  # dx
+        pltpu.VMEM((T, nu, L), f32),  # du
+        pltpu.VMEM((T + 1, nx, L), f32),  # s_lx
+        pltpu.VMEM((T + 1, nx, L), f32),  # s_ux
+        pltpu.VMEM((T, nu, L), f32),  # s_lu
+        pltpu.VMEM((T, nu, L), f32),  # s_uu
+        pltpu.VMEM((T + 1, nx, L), f32),  # lam_lx
+        pltpu.VMEM((T + 1, nx, L), f32),  # lam_ux
+        pltpu.VMEM((T, nu, L), f32),  # lam_lu
+        pltpu.VMEM((T, nu, L), f32),  # lam_uu
+        pltpu.VMEM((T, nu, nx, L), f32),  # K
+        pltpu.VMEM((T, nu, L), f32),  # kff
+        pltpu.VMEM((T, nx, L), f32),  # r_dyn
+        pltpu.VMEM((1, L), f32),  # mu (adaptive-exit carry)
+        pltpu.VMEM((T + 1, nx, L), f32),  # ddx (Newton direction)
+        pltpu.VMEM((T, nu, L), f32),  # ddu
+    ]
+    if mehrotra:
+        scratch += [
+            pltpu.VMEM((T + 1, nx, L), f32),  # ddx affine
+            pltpu.VMEM((T, nu, L), f32),  # ddu affine
+        ]
+    scratch += [
+        pltpu.VMEM((2, C, nx, nx, L), f32),  # A double buffer
+        pltpu.VMEM((2, C, nx, nu, L), f32),  # B double buffer
+        pltpu.SemaphoreType.DMA((2, 2)),  # per-(slot, tensor) DMA semaphores
+    ]
+    dx, du, gap = pl.pallas_call(
+        kernel,
+        in_specs=[hbm(), hbm()] + [vm() for _ in range(9)],
+        out_specs=[vm(), vm(), vm()],
+        out_shape=[
+            jax.ShapeDtypeStruct((T + 1, nx, L), f32),
+            jax.ShapeDtypeStruct((T, nu, L), f32),
+            jax.ShapeDtypeStruct((1, L), f32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
+    return dx, du, gap[0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "interpret"),

@@ -19,27 +19,55 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.ops.boxqp import BOUND_INF
-from gpmpc_tpu.ops.pallas_ocp import LANES, LanesQp, solve_ocp_qp_lanes
+from gpmpc_tpu.ops.pallas_ocp import (
+    LANES,
+    LanesQp,
+    solve_ocp_qp_lanes,
+    solve_ocp_qp_lanes_streamed,
+)
 from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, SqpSolution
 
 
 # All-resident kernel VMEM cap. After the accumulating-matmul rewrite (small
-# live temporaries) T=50 compiles and solves on v5e (validated; gap ~1e-7);
-# larger horizons are untested and would fail loudly at compile with a VMEM OOM.
+# live temporaries) T=50 compiles and solves on v5e (validated; gap ~1e-7).
+# Beyond it the lanes path switches to the streaming-DMA kernel, which keeps
+# only the IP state vectors resident and double-buffers A/B through HBM — its
+# cap is the resident vector state (~100 KiB/stage on a 16 MiB-VMEM core).
 MAX_LANES_HORIZON = 50
+# Mehrotra keeps a second full set of direction arrays live (affine predictor):
+# measured scoped-VMEM 18.55M at T=50 (16M limit) on v5e, so the all-resident
+# kernel gets a tighter cap in that mode; beyond it the streamed kernel (stage-
+# looped elementwise phases, A/B via DMA) takes over.
+MAX_LANES_HORIZON_MEHROTRA = 25
+MAX_STREAM_HORIZON = 112
+# The fused in-kernel linearizer statically unrolls its stage loop with all
+# outputs VMEM-resident; measured scoped-VMEM 28.6M at T=50 (16M limit) on v5e,
+# so it gets a tighter cap than the QP kernel (T=25 ≈ 14.3M, compiles + runs).
+MAX_FUSED_HORIZON = 25
 
 
 def _lane_width(T: int) -> int:
     """Lane-tile width. The lane axis is physically padded to 128, so narrowing
-    tiles does NOT reduce VMEM — the kernel simply requires T <= MAX_LANES_HORIZON
-    (callers fall back to the XLA backend beyond that; a streaming-DMA variant
-    that stages A/B through HBM is the future long-horizon path)."""
-    if T > MAX_LANES_HORIZON:
+    tiles does NOT reduce VMEM — the lanes path requires T <= MAX_STREAM_HORIZON
+    (all-resident kernel to MAX_LANES_HORIZON, A/B-streaming kernel beyond;
+    callers fall back to the XLA backend for longer horizons)."""
+    if T > MAX_STREAM_HORIZON:
         raise ValueError(
-            f"lanes backend supports horizons up to {MAX_LANES_HORIZON} (got {T}); "
+            f"lanes backend supports horizons up to {MAX_STREAM_HORIZON} (got {T}); "
             "use the xla backend (optionally with parallel_scan) for longer horizons"
         )
     return LANES
+
+
+def _solve_qp_lanes(qp: LanesQp, cfg: SqpConfig, interpret: bool):
+    """Dispatch one lane tile to the all-resident or A/B-streaming IP kernel."""
+    T = qp.A.shape[0]
+    resident_cap = MAX_LANES_HORIZON_MEHROTRA if cfg.qp_mehrotra else MAX_LANES_HORIZON
+    solver = solve_ocp_qp_lanes if T <= resident_cap else solve_ocp_qp_lanes_streamed
+    return solver(
+        qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
+        mehrotra=cfg.qp_mehrotra, interpret=interpret,
+    )
 
 
 def _to_lane_tiles(x: jax.Array, n_tiles: int, lanes: int) -> jax.Array:
@@ -135,10 +163,7 @@ def sqp_solve_batch_lanes_fused(
             A=A, B=Bm, r=defect, qdiag=qdiag_l[0], qx=qx, rdiag=rdiag_l[0], ru=ru,
             lx=lx_d, ux=ux_d, lu=lu - U, uu=uu - U,
         )
-        dx, du, gap = solve_ocp_qp_lanes(
-            qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
-            mehrotra=cfg.qp_mehrotra, interpret=interpret,
-        )
+        dx, du, gap = _solve_qp_lanes(qp, cfg, interpret)
         return dx, du, gap
 
     def body(carry):
@@ -271,11 +296,7 @@ def sqp_solve_batch_lanes(
             uu=_to_lane_tiles(pad_b(uu), n_tiles, lanes),
         )
         dx_t, du_t, gap_t = jax.lax.map(
-            lambda t: solve_ocp_qp_lanes(
-                t, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
-                mehrotra=cfg.qp_mehrotra, interpret=interpret,
-            ),
-            tiles,
+            lambda t: _solve_qp_lanes(t, cfg, interpret), tiles
         )
         dx = _from_lane_tiles(dx_t, B)  # (B, T+1, nx)
         du = _from_lane_tiles(du_t, B)

@@ -49,16 +49,16 @@ def batched_gpmpc_step(
     var_bf16 select the tightening-variance path (control/gpmpc.py::
     batched_variances).
     """
-    from gpmpc_tpu.ops.sqp_lanes import MAX_LANES_HORIZON
+    from gpmpc_tpu.ops.sqp_lanes import MAX_STREAM_HORIZON
 
     T = consts.mpc.uref.shape[0]
-    if backend == "lanes" and T <= MAX_LANES_HORIZON:
+    if backend == "lanes" and T <= MAX_STREAM_HORIZON:
         return gpmpc_mod.batched_select_action_lanes(
             model, cfg, consts, gp, states, obs,
             var_backend=var_backend, var_bf16=var_bf16,
         )
-    # Long horizons exceed the all-resident kernel's VMEM budget: fall back to
-    # the XLA path (combine with cfg.parallel_scan for O(log T) depth).
+    # Horizons past even the A/B-streaming kernel's resident-state budget fall
+    # back to the XLA path (combine with cfg.parallel_scan for O(log T) depth).
     step = partial(gpmpc_mod.select_action, model, cfg)
     return jax.vmap(step, in_axes=(None, None, 0, 0))(consts, gp, states, obs)
 

@@ -59,19 +59,24 @@ def main():
 
     B = 1280  # 10 lane tiles / 128 block-diag tiles
     T = 25  # independent per-scenario stages, as in the production Riccati sweep
-    n_chain = 100
+    n_chain = 200
     rng = np.random.default_rng(0)
     # Near-orthogonal-ish scaling keeps the chained products finite.
     mats = (np.eye(N) + 0.05 * rng.normal(size=(B, T, N, N))).astype(np.float32)
     useful_flops = 2.0 * B * T * N * N * N * n_chain
 
-    def timed(fn, *args):
+    def timed(fn, *args, reps=5):
         out = fn(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        for _ in range(reps):
+            out = fn(*args)
+        # Device->host fetch of the final result: a barrier the remote (axon)
+        # dispatch queue cannot satisfy early — block_until_ready alone was
+        # measured returning in ~0.1 ms for multi-ms programs over the tunnel,
+        # inflating a VPU-bound kernel to an impossible 64 TFLOP/s.
+        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
+        dt = (time.perf_counter() - t0) / reps
         return useful_flops / dt / 1e9
 
     def report(name, gflops):

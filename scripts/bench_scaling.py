@@ -81,11 +81,13 @@ def virtual_mesh_worker(n_devices: int, per_device: int, horizon: int, n_steps: 
     )
 
     env_states, ctrl_states, obs, u = step(consts, gp, env_states, ctrl_states, obs)
-    u.block_until_ready()
+    jax.device_get(u)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         env_states, ctrl_states, obs, u = step(consts, gp, env_states, ctrl_states, obs)
-    u.block_until_ready()
+    # device_get, not block_until_ready: the latter is a no-op under the remote
+    # (axon) TPU tunnel; only a host fetch proves the chained steps executed.
+    jax.device_get(u)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"virtual_mesh_{n_devices}dev",
@@ -208,11 +210,11 @@ def main():
         ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(horizon, 12, 4))(jnp.arange(B))
         for _ in range(2):
             env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
-        u.block_until_ready()
+        jax.device_get(u)
         t0 = time.perf_counter()
         for _ in range(steps):
             env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
-        u.block_until_ready()
+        jax.device_get(u)
         dt = time.perf_counter() - t0
         sps = B * steps / dt
         print(json.dumps({
