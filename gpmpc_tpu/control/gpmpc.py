@@ -564,9 +564,9 @@ def batched_select_action_lanes(
 
     T = c.uref.shape[0]
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
-    # The fused kernel-linearize path statically unrolls stages with all A/B
-    # outputs VMEM-resident — measured scoped-VMEM OOM at T=50 — so it is capped
-    # at MAX_FUSED_HORIZON; longer horizons take the jacfwd + lanes-QP path.
+    # The fused kernel-linearize path covers the lanes horizon range (the
+    # linearizer is stage-looped; the QP dispatches resident/streamed); horizons
+    # past MAX_FUSED_HORIZON take the jacfwd + XLA path.
     if (
         cfg.kernel_linearize
         and T <= MAX_FUSED_HORIZON

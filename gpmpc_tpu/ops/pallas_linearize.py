@@ -165,7 +165,10 @@ def _linearize_kernel_body(
         }
         return f, _build_mat(jx, NX, L, f32), _build_mat(ju, NU, L, f32)
 
-    for k in range(T):  # static unroll
+    # Stage loop as fori_loop, NOT a static unroll: unrolling gives Mosaic a
+    # scoped-VMEM stack that grows with T (measured 28.6M at T=50 vs the 16M
+    # core limit); the looped body holds one stage's temporaries regardless of T.
+    def stage_body(k, _):
         x = X_ref[k]
         u = U_ref[k]
         # RK4 with the analytic chain (≙ models/jacobians.py::rk4_discrete_jacobians)
@@ -186,6 +189,9 @@ def _linearize_kernel_body(
         fnext_ref[k] = x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
         A_ref[k] = eye + dt / 6.0 * (J1x + 2 * dk2x + 2 * dk3x + dk4x)
         B_ref[k] = dt / 6.0 * (J1u + 2 * dk2u + 2 * dk3u + dk4u)
+        return 0
+
+    jax.lax.fori_loop(0, T, stage_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "use_gp", "interpret"))

@@ -40,10 +40,9 @@ MAX_LANES_HORIZON = 50
 # looped elementwise phases, A/B via DMA) takes over.
 MAX_LANES_HORIZON_MEHROTRA = 25
 MAX_STREAM_HORIZON = 112
-# The fused in-kernel linearizer statically unrolls its stage loop with all
-# outputs VMEM-resident; measured scoped-VMEM 28.6M at T=50 (16M limit) on v5e,
-# so it gets a tighter cap than the QP kernel (T=25 ≈ 14.3M, compiles + runs).
-MAX_FUSED_HORIZON = 25
+# The in-kernel linearizer is stage-looped (one stage's temporaries live at a
+# time), so it covers the full lanes range; validated on v5e at T=50 and T=100.
+MAX_FUSED_HORIZON = MAX_STREAM_HORIZON
 
 
 def _lane_width(T: int) -> int:

@@ -261,3 +261,12 @@ def test_lanes_step_T52_uses_streamed_and_matches_xla():
     np.testing.assert_allclose(
         np.asarray(st_l.X_warm), np.asarray(st_x.X_warm), atol=5e-3
     )
+    # fused path at T>50: in-kernel linearization + streamed QP
+    cfg_fused = ctrl.cfg._replace(kernel_linearize=True)
+    u_f, st_f, _ = gpmpc_mod.batched_select_action_lanes(
+        model, cfg_fused, ctrl.consts, ctrl.gp_model, states, obs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_x), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(st_f.X_warm), np.asarray(st_x.X_warm), atol=1e-2
+    )
