@@ -72,10 +72,13 @@ def main():
 
     from gpmpc_tpu.envs import drone
 
-    B = int(os.environ.get("BENCH_BATCH", "512"))
-    # 30 steps ≈ 0.5 s of work at the default config: the ~27 ms fixed
-    # device_get RTT of the axon tunnel (measured) stays <6% of the window.
-    n_timed_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    # B=1024 is the measured single-chip throughput sweet spot (87.0k solves/s
+    # vs 77.9k at B=512; B=4096 regresses slightly — HBM working set).
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    # 60 steps ≈ 0.7 s of work at the default config: the ~27 ms fixed
+    # device_get RTT of the axon tunnel (measured) stays ~4% of the window
+    # (measured 91.6k solves/s at 60 steps vs 92.6k at 120 — converged).
+    n_timed_steps = int(os.environ.get("BENCH_STEPS", "60"))
     backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
     # In-kernel adaptive IP exit (acados semantics: exit at tolerance, max_iter
     # as cap). Default-on at gap<=1e-7: warm-started solves converge in 2-3 IP
@@ -117,6 +120,29 @@ def main():
         )
         return env_states, ctrl_states, obs, u
 
+    # BENCH_FUSED=1: scan the whole timed window inside ONE jitted program
+    # (a lax.scan of closed-loop steps, the batched_episode deployment shape).
+    # Measured SLOWER than the chained Python loop (41.1k vs 91.6k solves/s at
+    # B=1024): inside a scan->while body XLA cannot hoist the layout transforms
+    # feeding the Pallas custom-calls, so they re-run every iteration. Kept as
+    # a knob because it is the zero-host-involvement deployment shape.
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    if fused:
+        def fused_window(consts, gpm, env_states, ctrl_states, obs, n):
+            def body(carry, _):
+                env_states, ctrl_states, obs = carry
+                env_states, ctrl_states, obs, u = closed_loop_step(
+                    consts, gpm, env_states, ctrl_states, obs
+                )
+                return (env_states, ctrl_states, obs), u[0, 0]
+
+            (env_states, ctrl_states, obs), u_trace = jax.lax.scan(
+                body, (env_states, ctrl_states, obs), None, length=n
+            )
+            return env_states, ctrl_states, obs, u_trace
+
+        window = jax.jit(fused_window, static_argnames="n")
+
     step = jax.jit(closed_loop_step)
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -133,11 +159,23 @@ def main():
     # (axon) TPU tunnel block_until_ready returns immediately (measured: a 6 s
     # matmul chain "completes" in 0.1 ms), so only a device->host fetch of the
     # final step's output proves the whole data-chained sequence executed.
-    t0 = time.perf_counter()
-    for _ in range(n_timed_steps):
-        env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
-    jax.device_get(u)
-    dt_total = time.perf_counter() - t0
+    if fused:
+        # warm the scan program too, then time one fused window
+        env_states, ctrl_states, obs, _ = window(
+            ctrl.consts, gp, env_states, ctrl_states, obs, n_timed_steps
+        )
+        t0 = time.perf_counter()
+        env_states, ctrl_states, obs, u_trace = window(
+            ctrl.consts, gp, env_states, ctrl_states, obs, n_timed_steps
+        )
+        jax.device_get(u_trace)
+        dt_total = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        for _ in range(n_timed_steps):
+            env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        jax.device_get(u)
+        dt_total = time.perf_counter() - t0
 
     solves_per_sec = B * n_timed_steps / dt_total
     print(
