@@ -95,13 +95,29 @@ def batched_episode(
     n_steps: int,
     use_gp: bool = True,
     param_scale: float | None = None,
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> EpisodeResult:
     """Full closed-loop episodes for B scenarios as one scanned XLA program.
 
     With `param_scale`, every scenario runs against its own randomized plant
     coefficients (BASELINE config 3: domain-randomized rollouts) while the
     controller keeps the shared prior/GP model.
+
+    backend="lanes" (requires use_gp=True) runs the controller step through the
+    lane-packed Pallas kernels with the batch axis inside the scan — the
+    on-device episode shape for TPU. Note: XLA cannot hoist the layout
+    transforms feeding Pallas custom-calls out of a scan body, which costs ~2x
+    per step vs a host-chained loop of the same kernels (measured, see
+    bench.py BENCH_FUSED) — still ~30x the XLA path inside the same scan.
     """
+    if backend == "lanes":
+        if not use_gp:
+            raise ValueError("backend='lanes' requires use_gp=True (GP-MPC step)")
+        return _batched_episode_lanes(
+            model, cfg, env_params, consts, gp, keys, n_steps,
+            param_scale=param_scale, interpret=interpret,
+        )
 
     def single_episode(key):
         k_env, k_par = jax.random.split(key)
@@ -134,6 +150,55 @@ def batched_episode(
         return EpisodeResult(obs=obs_full, actions=actions, rewards=rewards)
 
     return jax.vmap(single_episode)(keys)
+
+
+def _batched_episode_lanes(
+    model: SymbolicModel,
+    cfg: SqpConfig,
+    env_params: drone.EnvParams,
+    consts: GpMpcConsts,
+    gp: GpModel,
+    keys: jax.Array,
+    n_steps: int,
+    param_scale: float | None,
+    interpret: bool,
+) -> EpisodeResult:
+    """Batch-inside-scan episode runner on the lane-packed Pallas backend."""
+    k_env, k_par = jax.vmap(jax.random.split, out_axes=1)(keys)
+    if param_scale is None:
+        plant = jnp.broadcast_to(
+            drone.params_to_array(env_params.params), (keys.shape[0], 8)
+        )
+    else:
+        plant = jax.vmap(
+            lambda k: drone.randomize_params(k, env_params.params, scale=param_scale)
+        )(k_par)
+    env_states, obs0 = jax.vmap(lambda k: drone.env_reset(env_params, k))(k_env)
+    T = cfg_horizon(consts)
+    ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(T, model.nx, model.nu))(
+        jnp.arange(keys.shape[0])
+    )
+
+    def step(carry, _):
+        env_states, ctrl_states, obs = carry
+        u, ctrl_states, _ = gpmpc_mod.batched_select_action_lanes(
+            model, cfg, consts, gp, ctrl_states, obs, interpret=interpret
+        )
+        env_states, obs_next, reward, _, _ = jax.vmap(
+            lambda p, s, a: drone.env_step_dynamic(env_params, p, s, a)
+        )(plant, env_states, u)
+        return (env_states, ctrl_states, obs_next), (obs_next, u, reward)
+
+    (_, _, _), (obs_path, actions, rewards) = jax.lax.scan(
+        step, (env_states, ctrl_states, obs0), None, length=n_steps
+    )
+    # scan stacks time-first; episode results are batch-first
+    obs_full = jnp.concatenate([obs0[:, None], jnp.moveaxis(obs_path, 0, 1)], axis=1)
+    return EpisodeResult(
+        obs=obs_full,
+        actions=jnp.moveaxis(actions, 0, 1),
+        rewards=jnp.moveaxis(rewards, 0, 1),
+    )
 
 
 def cfg_horizon(consts: GpMpcConsts) -> int:

@@ -24,7 +24,6 @@ Prints one JSON line per case. Results recorded in docs/ROOFLINE.md.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time

@@ -161,7 +161,7 @@ def main():
     import numpy as np
 
     from gpmpc_tpu.control import mpc as mpc_mod
-    from gpmpc_tpu.control.gpmpc import GPMPC, pack_training_data, train_gp_models
+    from gpmpc_tpu.control.gpmpc import GPMPC
     from gpmpc_tpu.envs import drone
     from gpmpc_tpu.envs.drone import DroneFigureEightEnv
     from gpmpc_tpu.models.symbolic import symbolic_attitude

@@ -120,3 +120,33 @@ def test_randomized_episode_batch():
     # distinct plants produce distinct trajectories even from similar starts
     spread = np.std(np.asarray(ep.obs)[:, -1, 5])
     assert spread > 1e-5
+
+
+def test_lanes_episode_matches_xla_episode():
+    """backend='lanes' episode (batch-inside-scan, Pallas kernels in interpret
+    mode) tracks the XLA episode step-for-step."""
+    env, model, ctrl = make_ctrl()
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    ep_x = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, ctrl.gp_model, keys, n_steps=4
+    )
+    ep_l = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, ctrl.gp_model, keys, n_steps=4,
+        backend="lanes", interpret=True,
+    )
+    assert ep_l.obs.shape == ep_x.obs.shape
+    np.testing.assert_allclose(
+        np.asarray(ep_l.actions), np.asarray(ep_x.actions), atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(ep_l.obs), np.asarray(ep_x.obs), atol=5e-3)
+
+
+def test_lanes_episode_randomized_plants():
+    env, model, ctrl = make_ctrl()
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    ep = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, ctrl.gp_model, keys, n_steps=3,
+        param_scale=0.1, backend="lanes", interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(ep.obs)))
+    assert not np.allclose(np.asarray(ep.obs[0]), np.asarray(ep.obs[1]))
