@@ -123,11 +123,18 @@ def main():
     # BENCH_FUSED=1: scan the whole timed window inside ONE jitted program
     # (a lax.scan of closed-loop steps, the batched_episode deployment shape).
     # Measured SLOWER than the chained Python loop (41.1k vs 91.6k solves/s at
-    # B=1024): inside a scan->while body XLA cannot hoist the layout transforms
-    # feeding the Pallas custom-calls, so they re-run every iteration. Kept as
-    # a knob because it is the zero-host-involvement deployment shape.
+    # B=1024, same trajectory steps), and a FULLY UNROLLED window — identical
+    # HLO to the chained steps, zero loop machinery — is still ~2x slower
+    # (36.2k vs 72.5k at an 8-step window): XLA schedules the monolithic
+    # program worse than the runtime executes the chained small ones. Chained
+    # host dispatch is the recommended deployment; this knob documents the
+    # zero-host-involvement alternative. BENCH_FUSED_UNROLL=<n|full> controls
+    # scan unrolling.
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     if fused:
+        fused_unroll = os.environ.get("BENCH_FUSED_UNROLL", "1")
+        unroll = True if fused_unroll == "full" else int(fused_unroll)
+
         def fused_window(consts, gpm, env_states, ctrl_states, obs, n):
             def body(carry, _):
                 env_states, ctrl_states, obs = carry
@@ -137,7 +144,7 @@ def main():
                 return (env_states, ctrl_states, obs), u[0, 0]
 
             (env_states, ctrl_states, obs), u_trace = jax.lax.scan(
-                body, (env_states, ctrl_states, obs), None, length=n
+                body, (env_states, ctrl_states, obs), None, length=n, unroll=unroll
             )
             return env_states, ctrl_states, obs, u_trace
 
