@@ -48,6 +48,10 @@ class GpMpcSection:
     qp_iters: int = 15  # interior-point iterations per QP
     max_gp_points: int = 128  # padded GP dataset capacity (avoids re-jit on growth)
     parallel_scan: bool = False  # O(log T) associative-scan Riccati (long horizons)
+    # L1 penalty weight for soft (slack-penalized) chance-tightened state
+    # bounds; null/None = hard bounds with the 45% feasibility clamp. See
+    # ops/boxqp.py (bounded-multiplier IP) and MpcInfo.soft_viol.
+    soft_constraints: float | None = None
 
     def __post_init__(self):
         if self.prior_params is None or any(

@@ -393,6 +393,7 @@ def _bounds_from_tightening(
     obs: jax.Array,
     t_x: jax.Array,  # (T+1, nx) requested tightenings
     t_u: jax.Array,  # (T, nu)
+    soft: bool = False,
 ) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array, jax.Array]:
     """Shared tail of step preparation: gate/clamp the tightening, build bounds,
     reference window, and warm start. Returns (xref, bounds, X_init, U_init,
@@ -409,15 +410,20 @@ def _bounds_from_tightening(
     # from each side (the reference would instead hit an acados failure status).
     # Every clamped entry is counted and surfaced in MpcInfo.clamp_frac — when
     # nonzero, the chance constraint is degraded and the caller must know.
+    # With soft state bounds (SqpConfig.soft_x_penalty) the STATE tightening is
+    # honored in full — infeasible (even crossed) boxes are well-posed for the
+    # L1-penalized QP, and the degradation signal moves to MpcInfo.soft_viol.
+    # Input bounds are actuator limits and always stay hard-clamped.
     lx = jnp.tile(c.lx[None], (T + 1, 1))
     ux = jnp.tile(c.ux[None], (T + 1, 1))
     lu = jnp.tile(c.lu[None], (T, 1))
     uu = jnp.tile(c.uu[None], (T, 1))
     cap_x = 0.45 * (ux - lx)
     cap_u = 0.45 * (uu - lu)
-    n_clamped = jnp.sum(t_x > cap_x) + jnp.sum(t_u > cap_u)
+    n_clamped = jnp.sum(t_u > cap_u) + (0 if soft else jnp.sum(t_x > cap_x))
     clamp_frac = n_clamped.astype(jnp.float32) / float(t_x.size + t_u.size)
-    t_x = jnp.minimum(t_x, cap_x)
+    if not soft:
+        t_x = jnp.minimum(t_x, cap_x)
     t_u = jnp.minimum(t_u, cap_u)
     bounds = OcpBounds(lx=lx + t_x, ux=ux - t_x, lu=lu + t_u, uu=uu - t_u)
 
@@ -434,11 +440,12 @@ def prepare_step(
     gp: GpModel,
     state: MpcState,
     obs: jax.Array,
+    soft: bool = False,
 ) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array, jax.Array]:
     """Per-scenario step preparation: tightened bounds, reference window, warm
     start. (xref, bounds, X_init, U_init, clamp_frac). Vmappable."""
     t_x, t_u = propagate_constraint_limits(consts, gp, state.X_warm, state.U_warm)
-    return _bounds_from_tightening(consts, gp, state, obs, t_x, t_u)
+    return _bounds_from_tightening(consts, gp, state, obs, t_x, t_u, soft=soft)
 
 
 def batched_variances(
@@ -523,7 +530,9 @@ def select_action(
 ) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
     """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368."""
     c = consts.mpc
-    xref, bounds, X_init, U_init, clamp_frac = prepare_step(model, consts, gp, state, obs)
+    xref, bounds, X_init, U_init, clamp_frac = prepare_step(
+        model, consts, gp, state, obs, soft=cfg.soft_x_penalty is not None
+    )
     fd = partial(augmented_fd, model, gp)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     sol = sqp_solve(fd, cost, bounds, obs, X_init, U_init, cfg)
@@ -532,6 +541,7 @@ def select_action(
     info = mpc_mod.MpcInfo(
         X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap,
         n_iters=sol.n_iters, clamp_frac=clamp_frac,
+        soft_viol=mpc_mod.state_bound_violation(sol.X, bounds),
     )
     return sol.U[0], new_state, info
 
@@ -608,6 +618,7 @@ def batched_select_action_lanes(
     info = mpc_mod.MpcInfo(
         X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap,
         n_iters=sol.n_iters, clamp_frac=clamp_frac,
+        soft_viol=jax.vmap(mpc_mod.state_bound_violation)(sol.X, bounds),
     )
     return sol.U[:, 0], new_states, info
 
@@ -636,6 +647,7 @@ class GPMPC:
         qp_iters: int = 15,
         parallel_scan: bool = False,
         ard_gp: bool = False,
+        soft_constraints: float | None = None,
     ):
         if prior_params is None or any(k not in prior_params for k in ("a", "b")):
             raise ValueError("GPMPC requires prior_params to be defined and contain 'a' and 'b'.")
@@ -699,8 +711,13 @@ class GPMPC:
             inverse_cdf=jnp.asarray(inverse_cdf, jnp.float32),
             dt=jnp.asarray(self.dt, jnp.float32),
         )
+        # soft_constraints: L1 penalty weight that makes the chance-tightened
+        # STATE bounds soft (ops/boxqp.py bounded-multiplier formulation) so an
+        # uncertain GP degrades the constraint gracefully and *visibly*
+        # (MpcInfo.soft_viol) instead of being silently clamped at 45%.
         self.cfg = SqpConfig(
-            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan
+            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan,
+            soft_x_penalty=soft_constraints,
         )
         self.gp_model = empty_gp_model(
             self.max_gp_points,

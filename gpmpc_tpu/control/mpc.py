@@ -65,6 +65,11 @@ class MpcInfo(NamedTuple):
     # hard with an acados status instead (gpmpc/mpc.py:185); here degradation is
     # graceful but must be visible.
     clamp_frac: jax.Array = jnp.asarray(0.0, jnp.float32)
+    # Largest violation of the (tightened) state box at the returned solution.
+    # ~0 under hard bounds (the IP keeps strict feasibility); under soft state
+    # bounds (SqpConfig.soft_x_penalty) this is the graceful-degradation signal:
+    # how far the L1-penalized solve chose to exceed the tightened box.
+    soft_viol: jax.Array = jnp.asarray(0.0, jnp.float32)
 
 
 def make_consts(
@@ -146,9 +151,18 @@ def select_action(
 
     new_state = MpcState(traj_step=state.traj_step + 1, X_warm=sol.X, U_warm=sol.U)
     info = MpcInfo(
-        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters
+        X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters,
+        soft_viol=state_bound_violation(sol.X, bounds),
     )
     return sol.U[0], new_state, info
+
+
+def state_bound_violation(X: jax.Array, bounds: OcpBounds) -> jax.Array:
+    """Largest positive excess of X (stages 1..T; stage 0 is the pinned obs)
+    over its per-stage box — the MpcInfo.soft_viol telemetry."""
+    lo = jnp.max(bounds.lx[1:] - X[1:])
+    hi = jnp.max(X[1:] - bounds.ux[1:])
+    return jnp.maximum(jnp.maximum(lo, hi), 0.0)
 
 
 class MPC:

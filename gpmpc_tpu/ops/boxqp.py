@@ -21,6 +21,21 @@ Newton system's barrier term diagonal (the Riccati blocks stay dense-free).
 
 Bounds set to +-BOUND_INF participate harmlessly: their slacks stay huge and their
 multipliers stay ~mu/BOUND_INF, contributing ~1e-16 to the barrier diagonal.
+
+Soft (L1-penalized) state bounds — `soft_x`:
+    HPIPM-style graceful degradation (the reference would instead die with an
+    acados failure status, /root/reference/gpmpc/mpc.py:185): state bounds become
+    lx - e_l <= dx <= ux + e_u with e >= 0 penalized by rho * e in the objective.
+    In the interior point this is the *bounded-multiplier* formulation: the KKT
+    system gains per-bound complementarities s*lam = mu AND e*(rho - lam) = mu
+    (stationarity w.r.t. e gives nu = rho - lam >= 0), and eliminating (ds, de,
+    dlam) elementwise keeps the barrier term diagonal — the Riccati structure is
+    untouched, the effective barrier weight just changes from lam/s to
+    1 / (s/lam + e/(rho - lam)). rho -> inf recovers the hard bound exactly; for
+    finite rho the L1 exact-penalty property holds (solution identical to the
+    hard problem whenever rho exceeds the hard multipliers). This also makes the
+    QP unconditionally feasible — even *crossed* bounds (lx > ux after aggressive
+    chance tightening) yield a well-posed solve.
 """
 
 from __future__ import annotations
@@ -69,6 +84,9 @@ class _IpState(NamedTuple):
     lam_lu: jax.Array
     lam_uu: jax.Array
     mu: jax.Array
+    # L1 violation slacks for soft state bounds (zeros / unused in hard mode).
+    e_lx: jax.Array
+    e_ux: jax.Array
 
 
 def _fraction_to_boundary(vals, deltas, tau):
@@ -89,6 +107,7 @@ def solve_ocp_qp(
     tau: float = 0.995,
     parallel_scan: bool = False,
     mehrotra: bool = False,
+    soft_x: jax.Array | float | None = None,
 ) -> OcpQpSolution:
     """Solve the box-constrained OCP-QP. Fixed iteration count (jit/vmap friendly).
 
@@ -101,6 +120,9 @@ def solve_ocp_qp(
     second-order ds*dlam complementarity correction. Two Riccati solves per
     iteration, but far fewer iterations to a given gap (measured in
     tests/test_ocp_solvers.py::test_mehrotra_fewer_iterations).
+
+    soft_x (scalar or broadcastable to (T+1, nx)): L1 penalty weight rho that
+    turns the state bounds soft (see module docstring). None keeps them hard.
     """
     if parallel_scan:
         from gpmpc_tpu.ops.riccati_parallel import riccati_solve_parallel as _riccati
@@ -111,14 +133,24 @@ def solve_ocp_qp(
     nu = qp.B.shape[2]
     dtype = qp.A.dtype
     s_min = jnp.asarray(1e-2, dtype)
+    soft = soft_x is not None
+    if soft:
+        rho = jnp.broadcast_to(jnp.asarray(soft_x, dtype), (T + 1, nx))
 
     dx0 = jnp.zeros((T + 1, nx), dtype)
     du0 = jnp.zeros((T, nu), dtype)
-    s_lx = jnp.maximum(dx0 - qp.lx, s_min)
-    s_ux = jnp.maximum(qp.ux - dx0, s_min)
+    e0 = jnp.full((T + 1, nx), s_min if soft else 0.0, dtype)
+    s_lx = jnp.maximum(dx0 + e0 - qp.lx, s_min)
+    s_ux = jnp.maximum(qp.ux + e0 - dx0, s_min)
     s_lu = jnp.maximum(du0 - qp.lu, s_min)
     s_uu = jnp.maximum(qp.uu - du0, s_min)
     mu_init = jnp.asarray(mu0, dtype)
+    lam_lx0 = mu_init / s_lx
+    lam_ux0 = mu_init / s_ux
+    if soft:
+        # Multipliers of soft bounds live in (0, rho); start well inside.
+        lam_lx0 = jnp.minimum(lam_lx0, 0.49 * rho)
+        lam_ux0 = jnp.minimum(lam_ux0, 0.49 * rho)
     state = _IpState(
         dx=dx0,
         du=du0,
@@ -126,23 +158,51 @@ def solve_ocp_qp(
         s_ux=s_ux,
         s_lu=s_lu,
         s_uu=s_uu,
-        lam_lx=mu_init / s_lx,
-        lam_ux=mu_init / s_ux,
+        lam_lx=lam_lx0,
+        lam_ux=lam_ux0,
         lam_lu=mu_init / s_lu,
         lam_uu=mu_init / s_uu,
         mu=mu_init,
+        e_lx=e0,
+        e_ux=e0,
     )
+    # Complementarity pairs: (s, lam) for every bound, plus (e, rho - lam) for
+    # each soft state bound.
     m_total = 2.0 * ((T + 1) * nx + T * nu)
+    if soft:
+        m_total += 2.0 * (T + 1) * nx
+
+    def _gap(st: _IpState) -> jax.Array:
+        g = (
+            jnp.sum(st.s_lx * st.lam_lx) + jnp.sum(st.s_ux * st.lam_ux)
+            + jnp.sum(st.s_lu * st.lam_lu) + jnp.sum(st.s_uu * st.lam_uu)
+        )
+        if soft:
+            g = g + jnp.sum(st.e_lx * (rho - st.lam_lx))
+            g = g + jnp.sum(st.e_ux * (rho - st.lam_ux))
+        return g / m_total
 
     def body(_, st: _IpState) -> _IpState:
         # Slack and complementarity residuals for each of the four bound sets.
-        r_slx = st.dx - qp.lx - st.s_lx
-        r_sux = qp.ux - st.dx - st.s_ux
+        r_slx = st.dx + st.e_lx - qp.lx - st.s_lx
+        r_sux = qp.ux + st.e_ux - st.dx - st.s_ux
         r_slu = st.du - qp.lu - st.s_lu
         r_suu = qp.uu - st.du - st.s_uu
 
+        if soft:
+            nu_lx = rho - st.lam_lx
+            nu_ux = rho - st.lam_ux
+            # Effective barrier weight of a soft bound: eliminating (ds, de,
+            # dlam) gives dlam = -w*(±ddx + r_s + r_c/lam - r_e/nu) with
+            # w = 1 / (s/lam + e/nu); w -> lam/s as rho -> inf (hard limit).
+            w_lx = 1.0 / (st.s_lx / st.lam_lx + st.e_lx / nu_lx)
+            w_ux = 1.0 / (st.s_ux / st.lam_ux + st.e_ux / nu_ux)
+        else:
+            w_lx = st.lam_lx / st.s_lx
+            w_ux = st.lam_ux / st.s_ux
+
         # Barrier diagonal (rhs-independent: shared by predictor and corrector).
-        sigma_x = st.lam_lx / st.s_lx + st.lam_ux / st.s_ux
+        sigma_x = w_lx + w_ux
         sigma_u = st.lam_lu / st.s_lu + st.lam_uu / st.s_uu
         Qxx_hat = qp.Qxx + jax.vmap(jnp.diag)(sigma_x)
         Ruu_hat = qp.Ruu + jax.vmap(jnp.diag)(sigma_u)
@@ -160,12 +220,17 @@ def solve_ocp_qp(
             - st.dx[1:]
         )
 
-        def newton_step(r_clx, r_cux, r_clu, r_cuu):
-            """Eliminate (ds, dlam) for the given complementarity residuals and
-            solve the stage-wise Newton system by Riccati."""
-            corr_x = (r_clx + st.lam_lx * r_slx) / st.s_lx - (
-                r_cux + st.lam_ux * r_sux
-            ) / st.s_ux
+        def newton_step(r_clx, r_cux, r_clu, r_cuu, r_elx=None, r_eux=None):
+            """Eliminate (ds, de, dlam) for the given complementarity residuals
+            and solve the stage-wise Newton system by Riccati. r_e* are the
+            e*(rho-lam) complementarity residuals (soft mode only)."""
+            if soft:
+                g_lx = r_slx + r_clx / st.lam_lx - r_elx / nu_lx
+                g_ux = r_sux + r_cux / st.lam_ux - r_eux / nu_ux
+            else:
+                g_lx = r_slx + r_clx / st.lam_lx
+                g_ux = r_sux + r_cux / st.lam_ux
+            corr_x = w_lx * g_lx - w_ux * g_ux
             corr_u = (r_clu + st.lam_lu * r_slu) / st.s_lu - (
                 r_cuu + st.lam_uu * r_suu
             ) / st.s_uu
@@ -177,66 +242,106 @@ def solve_ocp_qp(
                 jnp.zeros((nx,), dtype),
             )
             ddx, ddu = sol.dx, sol.du
-            ds_lx = ddx + r_slx
-            ds_ux = r_sux - ddx
+            if soft:
+                dlam_lx = -w_lx * (ddx + g_lx)
+                dlam_ux = -w_ux * (-ddx + g_ux)
+                # ds via the slack equation (cancellation-free: no division by
+                # the potentially tiny lam), then de from its complementarity.
+                de_lx = (-r_elx + st.e_lx * dlam_lx) / nu_lx
+                de_ux = (-r_eux + st.e_ux * dlam_ux) / nu_ux
+                ds_lx = ddx + de_lx + r_slx
+                ds_ux = -ddx + de_ux + r_sux
+            else:
+                # Hard path: the round-1 formulas, bit-for-bit.
+                ds_lx = ddx + r_slx
+                ds_ux = r_sux - ddx
+                dlam_lx = -(r_clx + st.lam_lx * ds_lx) / st.s_lx
+                dlam_ux = -(r_cux + st.lam_ux * ds_ux) / st.s_ux
+                de_lx = de_ux = jnp.zeros_like(st.e_lx)
             ds_lu = ddu + r_slu
             ds_uu = r_suu - ddu
-            dlam_lx = -(r_clx + st.lam_lx * ds_lx) / st.s_lx
-            dlam_ux = -(r_cux + st.lam_ux * ds_ux) / st.s_ux
             dlam_lu = -(r_clu + st.lam_lu * ds_lu) / st.s_lu
             dlam_uu = -(r_cuu + st.lam_uu * ds_uu) / st.s_uu
             return (ddx, ddu), (ds_lx, ds_ux, ds_lu, ds_uu), (
                 dlam_lx, dlam_ux, dlam_lu, dlam_uu,
-            )
+            ), (de_lx, de_ux)
 
-        gap_now = (
-            jnp.sum(st.s_lx * st.lam_lx) + jnp.sum(st.s_ux * st.lam_ux)
-            + jnp.sum(st.s_lu * st.lam_lu) + jnp.sum(st.s_uu * st.lam_uu)
-        ) / m_total
+        def _alpha_primal(ds, de, t):
+            vals = (st.s_lx, st.s_ux, st.s_lu, st.s_uu) + (
+                (st.e_lx, st.e_ux) if soft else ()
+            )
+            deltas = ds + (de if soft else ())
+            return _fraction_to_boundary(vals, deltas, t)
+
+        def _alpha_dual(dlam, t):
+            vals = (st.lam_lx, st.lam_ux, st.lam_lu, st.lam_uu)
+            deltas = dlam
+            if soft:
+                # nu = rho - lam must also stay positive: d(nu) = -dlam.
+                vals = vals + (nu_lx, nu_ux)
+                deltas = deltas + (-dlam[0], -dlam[1])
+            return _fraction_to_boundary(vals, deltas, t)
+
+        gap_now = _gap(st)
 
         if mehrotra:
             # Affine predictor: pure Newton on complementarity (mu = 0).
-            _, ds_a, dlam_a = newton_step(
+            re_a = (st.e_lx * nu_lx, st.e_ux * nu_ux) if soft else (None, None)
+            _, ds_a, dlam_a, de_a = newton_step(
                 st.s_lx * st.lam_lx, st.s_ux * st.lam_ux,
                 st.s_lu * st.lam_lu, st.s_uu * st.lam_uu,
+                re_a[0], re_a[1],
             )
-            a_p = _fraction_to_boundary(
-                (st.s_lx, st.s_ux, st.s_lu, st.s_uu), ds_a, 1.0
-            )
-            a_d = _fraction_to_boundary(
-                (st.lam_lx, st.lam_ux, st.lam_lu, st.lam_uu), dlam_a, 1.0
-            )
+            a_p = _alpha_primal(ds_a, de_a, 1.0)
+            a_d = _alpha_dual(dlam_a, 1.0)
             slacks = (st.s_lx, st.s_ux, st.s_lu, st.s_uu)
             lams = (st.lam_lx, st.lam_ux, st.lam_lu, st.lam_uu)
             gap_aff = sum(
                 jnp.sum((s + a_p * ds) * (lam + a_d * dl))
                 for s, ds, lam, dl in zip(slacks, ds_a, lams, dlam_a)
-            ) / m_total
+            )
+            if soft:
+                gap_aff = gap_aff + jnp.sum(
+                    (st.e_lx + a_p * de_a[0]) * (nu_lx - a_d * dlam_a[0])
+                ) + jnp.sum(
+                    (st.e_ux + a_p * de_a[1]) * (nu_ux - a_d * dlam_a[1])
+                )
+            gap_aff = gap_aff / m_total
             sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
             target = jnp.maximum(sig * gap_now, 1e-14)
-            # Corrector: centering + second-order ds_aff * dlam_aff term.
-            (ddx, ddu), ds, dlam = newton_step(
+            # Corrector: centering + second-order ds_aff * dlam_aff terms
+            # (d(e)*d(nu) = -de_aff * dlam_aff for the soft pairs).
+            re_c = (
+                (
+                    st.e_lx * nu_lx - de_a[0] * dlam_a[0] - target,
+                    st.e_ux * nu_ux - de_a[1] * dlam_a[1] - target,
+                )
+                if soft
+                else (None, None)
+            )
+            (ddx, ddu), ds, dlam, de = newton_step(
                 st.s_lx * st.lam_lx + ds_a[0] * dlam_a[0] - target,
                 st.s_ux * st.lam_ux + ds_a[1] * dlam_a[1] - target,
                 st.s_lu * st.lam_lu + ds_a[2] * dlam_a[2] - target,
                 st.s_uu * st.lam_uu + ds_a[3] * dlam_a[3] - target,
+                re_c[0], re_c[1],
             )
         else:
-            (ddx, ddu), ds, dlam = newton_step(
+            re = (
+                (st.e_lx * nu_lx - st.mu, st.e_ux * nu_ux - st.mu)
+                if soft
+                else (None, None)
+            )
+            (ddx, ddu), ds, dlam, de = newton_step(
                 st.s_lx * st.lam_lx - st.mu, st.s_ux * st.lam_ux - st.mu,
                 st.s_lu * st.lam_lu - st.mu, st.s_uu * st.lam_uu - st.mu,
+                re[0], re[1],
             )
         ds_lx, ds_ux, ds_lu, ds_uu = ds
         dlam_lx, dlam_ux, dlam_lu, dlam_uu = dlam
 
-        alpha_p = _fraction_to_boundary(
-            (st.s_lx, st.s_ux, st.s_lu, st.s_uu), (ds_lx, ds_ux, ds_lu, ds_uu), tau
-        )
-        alpha_d = _fraction_to_boundary(
-            (st.lam_lx, st.lam_ux, st.lam_lu, st.lam_uu),
-            (dlam_lx, dlam_ux, dlam_lu, dlam_uu),
-            tau,
-        )
+        alpha_p = _alpha_primal(ds, de, tau)
+        alpha_d = _alpha_dual(dlam, tau)
 
         new = _IpState(
             dx=st.dx + alpha_p * ddx,
@@ -250,20 +355,11 @@ def solve_ocp_qp(
             lam_lu=st.lam_lu + alpha_d * dlam_lu,
             lam_uu=st.lam_uu + alpha_d * dlam_uu,
             mu=st.mu,
+            e_lx=st.e_lx + alpha_p * de[0] if soft else st.e_lx,
+            e_ux=st.e_ux + alpha_p * de[1] if soft else st.e_ux,
         )
-        gap = (
-            jnp.sum(new.s_lx * new.lam_lx)
-            + jnp.sum(new.s_ux * new.lam_ux)
-            + jnp.sum(new.s_lu * new.lam_lu)
-            + jnp.sum(new.s_uu * new.lam_uu)
-        ) / m_total
+        gap = _gap(new)
         return new._replace(mu=jnp.maximum(sigma * gap, 1e-12).astype(dtype))
 
     final = jax.lax.fori_loop(0, n_iter, body, state)
-    gap = (
-        jnp.sum(final.s_lx * final.lam_lx)
-        + jnp.sum(final.s_ux * final.lam_ux)
-        + jnp.sum(final.s_lu * final.lam_lu)
-        + jnp.sum(final.s_uu * final.lam_uu)
-    ) / m_total
-    return OcpQpSolution(dx=final.dx, du=final.du, gap=gap)
+    return OcpQpSolution(dx=final.dx, du=final.du, gap=_gap(final))

@@ -54,6 +54,12 @@ class SqpConfig(NamedTuple):
     # across the whole SQP loop. Quadrotor+isotropic-GP models only; other
     # models fall back to jacfwd automatically.
     kernel_linearize: bool = False
+    # L1 penalty weight that makes the STATE bounds soft (slack-penalized, the
+    # HPIPM bounded-multiplier formulation in ops/boxqp.py) so aggressive
+    # chance-constraint tightening degrades gracefully instead of producing an
+    # infeasible QP. None = hard bounds. Input bounds are always hard (they are
+    # actuator limits). XLA backend only; the lanes backend clamps instead.
+    soft_x_penalty: float | None = None
 
 
 class OcpCost(NamedTuple):
@@ -137,7 +143,7 @@ def sqp_solve(
         )
         sol = solve_ocp_qp(
             qp, n_iter=cfg.qp_iters, parallel_scan=cfg.parallel_scan,
-            mehrotra=cfg.qp_mehrotra,
+            mehrotra=cfg.qp_mehrotra, soft_x=cfg.soft_x_penalty,
         )
 
         new_step = jnp.maximum(jnp.max(jnp.abs(sol.dx)), jnp.max(jnp.abs(sol.du)))

@@ -259,6 +259,7 @@ def run():
         sqp_iters=g.sqp_iters,
         qp_iters=g.qp_iters,
         parallel_scan=g.parallel_scan,
+        soft_constraints=g.soft_constraints,
     )
 
     train_runs, test_runs = learn(

@@ -205,3 +205,58 @@ def test_clamp_activation_is_reported(env):
     ctrl2.select_action(obs)
     ctrl2.select_action(obs)
     assert float(ctrl2._last_info.clamp_frac) == 0.0
+
+
+def test_soft_constraints_graceful_and_reported(env):
+    """With soft state bounds (L1 slack, ops/boxqp.py) an over-uncertain GP no
+    longer needs the 45% clamp: the full tightening is passed through (even if
+    the box crosses), the solve stays finite, and the violation is REPORTED in
+    MpcInfo.soft_viol (VERDICT round 1, item 6)."""
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=False, seed=0, max_gp_points=16, sqp_iters=2, qp_iters=8,
+        soft_constraints=50.0,
+    )
+    gp = ctrl.gp_model
+    # Variance so large the tightening exceeds the box width: the tightened
+    # state box CROSSES (lx > ux) — unsolvable for the hard QP without a clamp.
+    ctrl.gp_model = gp._replace(
+        hypers=gp.hypers._replace(raw_outputscale=jnp.full((3,), 1e8, jnp.float32)),
+        trained=jnp.asarray(True),
+    )
+    obs = np.asarray(env.trajectory[0])
+    ctrl.reset()
+    ctrl.select_action(obs)  # step 0: tightening off by contract
+    u = ctrl.select_action(obs)  # step 1: huge tightening, soft solve
+    assert np.all(np.isfinite(u))
+    info = ctrl._last_info
+    # State tightening is NOT clamped in soft mode (only inputs may clamp) ...
+    assert float(info.soft_viol) > 1.0, "crossed soft box must report violation"
+    # ... and the action stays within the hard input bounds.
+    from gpmpc_tpu.models import quadrotor
+    lu, uu = quadrotor.input_bounds()
+    assert np.all(u >= np.asarray(lu) - 1e-5) and np.all(u <= np.asarray(uu) + 1e-5)
+
+    # A healthy (tiny-variance) GP under the same soft config violates nothing
+    # and matches the hard controller's action.
+    rng = np.random.default_rng(0)
+    x_tr = rng.normal(0, 0.3, (12, 7)).astype(np.float32)
+    y_tr = (0.01 * rng.normal(0, 1, (12, 3))).astype(np.float32)
+    ctrl_soft = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=False, seed=0, max_gp_points=16, sqp_iters=2, qp_iters=8,
+        soft_constraints=50.0,
+    )
+    ctrl_hard = GPMPC(
+        model, env.trajectory, PRIOR, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=False, seed=0, max_gp_points=16, sqp_iters=2, qp_iters=8,
+    )
+    for c in (ctrl_soft, ctrl_hard):
+        c.train_gp(x_tr, y_tr, lr=0.05, iterations=30)
+        c.reset()
+        c.select_action(obs)
+    u_soft = ctrl_soft.select_action(obs)
+    u_hard = ctrl_hard.select_action(obs)
+    assert float(ctrl_soft._last_info.soft_viol) < 1e-4
+    np.testing.assert_allclose(u_soft, u_hard, atol=2e-3)

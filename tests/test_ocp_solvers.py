@@ -219,3 +219,127 @@ def test_mehrotra_fewer_iterations_to_tight_gap():
         assert n_meh <= n_fix, (seed, n_meh, n_fix)
         wins += int(n_meh < n_fix)
     assert wins >= 2, "Mehrotra should strictly reduce iterations on most problems"
+
+
+def slsqp_soft_oracle(qp: OcpQpData, rho: float):
+    """Oracle for the L1-soft-state-bound QP: explicit slack variables e >= 0
+    with the penalty rho * sum(e), solved by scipy SLSQP."""
+    from scipy.optimize import minimize
+
+    A, B, r = np.asarray(qp.A), np.asarray(qp.B), np.asarray(qp.r)
+    Qxx, qx = np.asarray(qp.Qxx), np.asarray(qp.qx)
+    Ruu, ru = np.asarray(qp.Ruu), np.asarray(qp.ru)
+    lx, ux = np.asarray(qp.lx), np.asarray(qp.ux)
+    n_xu = T * NX + T * NU
+    n_e = T * NX  # slack pair per bounded state entry (stages 1..T)
+    n_var = n_xu + 2 * n_e
+
+    def unpack(v):
+        dx = np.concatenate([np.zeros((1, NX)), v[: T * NX].reshape(T, NX)], axis=0)
+        du = v[T * NX : n_xu].reshape(T, NU)
+        e_l = v[n_xu : n_xu + n_e].reshape(T, NX)
+        e_u = v[n_xu + n_e :].reshape(T, NX)
+        return dx, du, e_l, e_u
+
+    def fun(v):
+        dx, du, e_l, e_u = unpack(v)
+        c = rho * (e_l.sum() + e_u.sum())
+        for k in range(T + 1):
+            c += 0.5 * dx[k] @ Qxx[k] @ dx[k] + qx[k] @ dx[k]
+        for k in range(T):
+            c += 0.5 * du[k] @ Ruu[k] @ du[k] + ru[k] @ du[k]
+        return c
+
+    def dyn(v):
+        dx, du, _, _ = unpack(v)
+        return np.concatenate(
+            [A[k] @ dx[k] + B[k] @ du[k] + r[k] - dx[k + 1] for k in range(T)]
+        )
+
+    def soft_bounds(v):  # all entries must be >= 0
+        dx, _, e_l, e_u = unpack(v)
+        lo = (dx[1:] + e_l - lx[1:]).ravel()
+        hi = (ux[1:] + e_u - dx[1:]).ravel()
+        return np.concatenate([lo, hi])
+
+    lb = np.concatenate(
+        [np.full(T * NX, -np.inf), np.asarray(qp.lu).ravel(), np.zeros(2 * n_e)]
+    )
+    ub = np.concatenate(
+        [np.full(T * NX, np.inf), np.asarray(qp.uu).ravel(), np.full(2 * n_e, np.inf)]
+    )
+    res = minimize(
+        fun,
+        np.concatenate([np.zeros(n_xu), np.full(2 * n_e, 0.1)]),
+        constraints=[
+            {"type": "eq", "fun": dyn},
+            {"type": "ineq", "fun": soft_bounds},
+        ],
+        bounds=list(zip(lb, ub)),
+        method="SLSQP",
+        options={"maxiter": 800, "ftol": 1e-12},
+    )
+    assert res.success, res.message
+    return unpack(res.x)
+
+
+def _make_state_active_qp(seed):
+    """QP whose STATE bounds activate (tight boxes, strong linear drift)."""
+    lq = random_lq(seed, dtype=jnp.float64)
+    return OcpQpData(
+        A=lq.A, B=lq.B, r=lq.r, Qxx=lq.Qxx, qx=lq.qx, Ruu=lq.Ruu, ru=lq.ru,
+        lx=jnp.full((T + 1, NX), -0.4, jnp.float64),
+        ux=jnp.full((T + 1, NX), 0.4, jnp.float64),
+        lu=jnp.full((T, NU), -2.0, jnp.float64),
+        uu=jnp.full((T, NU), 2.0, jnp.float64),
+    )
+
+
+@pytest.mark.parametrize("mehrotra", [False, True])
+def test_soft_exact_penalty_matches_hard(mehrotra):
+    """L1 exact-penalty property: with rho above the hard problem's bound
+    multipliers, the soft solution IS the hard solution."""
+    qp = _make_state_active_qp(7)
+    hard = jax.jit(lambda q: solve_ocp_qp(q, n_iter=40, mehrotra=mehrotra))(qp)
+    soft = jax.jit(
+        lambda q: solve_ocp_qp(q, n_iter=40, mehrotra=mehrotra, soft_x=200.0)
+    )(qp)
+    assert np.max(np.abs(np.asarray(hard.dx))) <= 0.4 + 1e-5  # bounds really active
+    np.testing.assert_allclose(np.asarray(soft.du), np.asarray(hard.du), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(soft.dx), np.asarray(hard.dx), atol=2e-4)
+
+
+@pytest.mark.parametrize("mehrotra", [False, True])
+def test_soft_violating_solution_vs_slsqp(mehrotra):
+    """With a small penalty it pays to violate: match the slack-NLP oracle."""
+    qp = _make_state_active_qp(8)
+    rho = 1.5
+    sol = jax.jit(
+        lambda q: solve_ocp_qp(q, n_iter=60, mehrotra=mehrotra, soft_x=rho)
+    )(qp)
+    dx_ref, du_ref, e_l, e_u = slsqp_soft_oracle(qp, rho)
+    assert (e_l.max() > 1e-3) or (e_u.max() > 1e-3), "penalty should be violated"
+    np.testing.assert_allclose(np.asarray(sol.du), du_ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sol.dx), dx_ref, atol=2e-3)
+
+
+def test_soft_feasible_with_crossed_bounds():
+    """Crossed boxes (lx > ux — what over-aggressive chance tightening produces)
+    are infeasible for the hard solver but well-posed for the soft one."""
+    lq = random_lq(9, dtype=jnp.float64)
+    qp = OcpQpData(
+        A=lq.A, B=lq.B, r=lq.r, Qxx=lq.Qxx, qx=lq.qx, Ruu=lq.Ruu, ru=lq.ru,
+        lx=jnp.full((T + 1, NX), 0.3, jnp.float64),   # lower ABOVE upper
+        ux=jnp.full((T + 1, NX), -0.3, jnp.float64),
+        lu=jnp.full((T, NU), -2.0, jnp.float64),
+        uu=jnp.full((T, NU), 2.0, jnp.float64),
+    )
+    sol = jax.jit(lambda q: solve_ocp_qp(q, n_iter=40, soft_x=10.0))(qp)
+    dx, du = np.asarray(sol.dx), np.asarray(sol.du)
+    assert np.all(np.isfinite(dx)) and np.all(np.isfinite(du))
+    # Dynamics must still hold exactly (Riccati enforces the equality path).
+    A, B, r = np.asarray(qp.A), np.asarray(qp.B), np.asarray(qp.r)
+    for k in range(T):
+        np.testing.assert_allclose(dx[k + 1], A[k] @ dx[k] + B[k] @ du[k] + r[k], atol=1e-6)
+    # The compromise lands between the crossed bound pair, not at either box.
+    assert np.all(dx[1:] > -0.3 - 1e-6) and np.all(dx[1:] < 0.3 + 1e-6)
