@@ -506,6 +506,7 @@ def batched_prepare_step(
     obs: jax.Array,  # (B, nx)
     var_backend: str = "auto",
     var_bf16: bool = False,
+    soft: bool = False,
 ):
     """Batch-first step preparation: the GP variance work for all B scenarios
     runs as one fused pass (the hot-path integration of the GP-inference
@@ -516,7 +517,7 @@ def batched_prepare_step(
         lambda z7_b, cv_b: tightening_from_variances(consts, gp, z7_b, cv_b)
     )(z7, jnp.moveaxis(covs, 1, 0))
     return jax.vmap(
-        lambda s, o, tx, tu: _bounds_from_tightening(consts, gp, s, o, tx, tu)
+        lambda s, o, tx, tu: _bounds_from_tightening(consts, gp, s, o, tx, tu, soft=soft)
     )(states, obs, t_x, t_u)
 
 
@@ -564,15 +565,32 @@ def batched_select_action_lanes(
     and the tightening variances go through the fused GP-inference kernel
     (batched_prepare_step) instead of per-scenario einsums.
     """
-    from gpmpc_tpu.ops.sqp_lanes import sqp_solve_batch_lanes
+    from gpmpc_tpu.ops.sqp_lanes import (
+        MAX_FUSED_HORIZON,
+        lanes_horizon_cap,
+        sqp_solve_batch_lanes,
+    )
 
     c = consts.mpc
-    xref, bounds, X_init, U_init, clamp_frac = batched_prepare_step(
-        model, consts, gp, states, obs, var_backend=var_backend, var_bf16=var_bf16
-    )
-    from gpmpc_tpu.ops.sqp_lanes import MAX_FUSED_HORIZON
-
     T = c.uref.shape[0]
+    # Soft state bounds live in both lanes kernels (resident and streamed) up
+    # to the soft streamed cap; beyond it fall back to clamped hard bounds —
+    # loudly, not silently.
+    if cfg.soft_x_penalty is not None and T > lanes_horizon_cap(cfg):
+        import warnings
+
+        warnings.warn(
+            f"soft_constraints requested but T={T} exceeds the lanes soft "
+            f"horizon cap ({lanes_horizon_cap(cfg)}); falling back to hard "
+            "bounds with the 45% feasibility clamp for this controller",
+            stacklevel=2,
+        )
+        cfg = cfg._replace(soft_x_penalty=None)
+    soft = cfg.soft_x_penalty is not None
+    xref, bounds, X_init, U_init, clamp_frac = batched_prepare_step(
+        model, consts, gp, states, obs, var_backend=var_backend, var_bf16=var_bf16,
+        soft=soft,
+    )
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     # The fused kernel-linearize path covers the lanes horizon range (the
     # linearizer is stage-looped; the QP dispatches resident/streamed); horizons

@@ -84,9 +84,14 @@ class _IpState(NamedTuple):
     lam_lu: jax.Array
     lam_uu: jax.Array
     mu: jax.Array
-    # L1 violation slacks for soft state bounds (zeros / unused in hard mode).
+    # L1 violation slacks for soft state bounds (zeros / unused in hard mode),
+    # and the penalty-residual duals nu = rho - lam, tracked EXPLICITLY: in f32,
+    # recomputing rho - lam quantizes to 0 once lam -> rho (eps * rho spacing),
+    # and the soft algebra divides by nu.
     e_lx: jax.Array
     e_ux: jax.Array
+    nu_lx: jax.Array
+    nu_ux: jax.Array
 
 
 def _fraction_to_boundary(vals, deltas, tau):
@@ -108,6 +113,7 @@ def solve_ocp_qp(
     parallel_scan: bool = False,
     mehrotra: bool = False,
     soft_x: jax.Array | float | None = None,
+    gap_tol: float | None = None,
 ) -> OcpQpSolution:
     """Solve the box-constrained OCP-QP. Fixed iteration count (jit/vmap friendly).
 
@@ -123,6 +129,13 @@ def solve_ocp_qp(
 
     soft_x (scalar or broadcastable to (T+1, nx)): L1 penalty weight rho that
     turns the state bounds soft (see module docstring). None keeps them hard.
+
+    gap_tol: once the mean complementarity gap drops below it, remaining
+    iterations are masked no-ops. The dtype default is a numerical-validity
+    bound, not a convergence choice: in f32, iterating below gap ~1e-8 drives
+    active-bound barrier weights past what a float32 Riccati/Cholesky can
+    factor (observed NaN at gap ~4e-9) — an interior point cannot meaningfully
+    center below ~sqrt(eps) of the variable scale.
     """
     if parallel_scan:
         from gpmpc_tpu.ops.riccati_parallel import riccati_solve_parallel as _riccati
@@ -133,6 +146,8 @@ def solve_ocp_qp(
     nu = qp.B.shape[2]
     dtype = qp.A.dtype
     s_min = jnp.asarray(1e-2, dtype)
+    if gap_tol is None:
+        gap_tol = 1e-14 if dtype == jnp.float64 else 1e-8
     soft = soft_x is not None
     if soft:
         rho = jnp.broadcast_to(jnp.asarray(soft_x, dtype), (T + 1, nx))
@@ -151,6 +166,7 @@ def solve_ocp_qp(
         # Multipliers of soft bounds live in (0, rho); start well inside.
         lam_lx0 = jnp.minimum(lam_lx0, 0.49 * rho)
         lam_ux0 = jnp.minimum(lam_ux0, 0.49 * rho)
+    zeros_x = jnp.zeros((T + 1, nx), dtype)
     state = _IpState(
         dx=dx0,
         du=du0,
@@ -165,6 +181,8 @@ def solve_ocp_qp(
         mu=mu_init,
         e_lx=e0,
         e_ux=e0,
+        nu_lx=rho - lam_lx0 if soft else zeros_x,
+        nu_ux=rho - lam_ux0 if soft else zeros_x,
     )
     # Complementarity pairs: (s, lam) for every bound, plus (e, rho - lam) for
     # each soft state bound.
@@ -178,11 +196,14 @@ def solve_ocp_qp(
             + jnp.sum(st.s_lu * st.lam_lu) + jnp.sum(st.s_uu * st.lam_uu)
         )
         if soft:
-            g = g + jnp.sum(st.e_lx * (rho - st.lam_lx))
-            g = g + jnp.sum(st.e_ux * (rho - st.lam_ux))
+            g = g + jnp.sum(st.e_lx * st.nu_lx) + jnp.sum(st.e_ux * st.nu_ux)
         return g / m_total
 
     def body(_, st: _IpState) -> _IpState:
+        # Numerical-validity stop: below gap_tol the iteration is a masked
+        # no-op (see docstring — f32 cannot factor the barrier past ~1e-8).
+        done = _gap(st) <= gap_tol
+
         # Slack and complementarity residuals for each of the four bound sets.
         r_slx = st.dx + st.e_lx - qp.lx - st.s_lx
         r_sux = qp.ux + st.e_ux - st.dx - st.s_ux
@@ -190,13 +211,26 @@ def solve_ocp_qp(
         r_suu = qp.uu - st.du - st.s_uu
 
         if soft:
-            nu_lx = rho - st.lam_lx
-            nu_ux = rho - st.lam_ux
+            nu_lx = st.nu_lx
+            nu_ux = st.nu_ux
             # Effective barrier weight of a soft bound: eliminating (ds, de,
-            # dlam) gives dlam = -w*(±ddx + r_s + r_c/lam - r_e/nu) with
-            # w = 1 / (s/lam + e/nu); w -> lam/s as rho -> inf (hard limit).
-            w_lx = 1.0 / (st.s_lx / st.lam_lx + st.e_lx / nu_lx)
-            w_ux = 1.0 / (st.s_ux / st.lam_ux + st.e_ux / nu_ux)
+            # dlam) gives dlam = -(w*(±ddx) + cg) with w = lam*nu/den,
+            # den = s*nu + e*lam >= 2*mu > 0. The fused form never divides by
+            # lam or nu alone — the naive w = 1/(s/lam + e/nu) NaNs in f32
+            # once an inactive bound's lam underflows (0 * inf).
+            # For a bound that is active but NOT violated, s and e BOTH shrink
+            # like mu, so den ~ 2*mu and w diverges as lam*nu/(2*mu) — past
+            # ~1e7-1e9 an f32 Riccati loses positive-definiteness (observed
+            # NaN Cholesky under jit). Cap w via the denominator: a consistent
+            # proximal regularization of that constraint (bound-violation
+            # error <= |gradient|/W_MAX, far below solve tolerances).
+            w_max = 1e16 if dtype == jnp.float64 else 1e6
+            den_lx = st.s_lx * nu_lx + st.e_lx * st.lam_lx
+            den_ux = st.s_ux * nu_ux + st.e_ux * st.lam_ux
+            den_lx = jnp.maximum(den_lx, st.lam_lx * nu_lx * (1.0 / w_max))
+            den_ux = jnp.maximum(den_ux, st.lam_ux * nu_ux * (1.0 / w_max))
+            w_lx = st.lam_lx * nu_lx / den_lx
+            w_ux = st.lam_ux * nu_ux / den_ux
         else:
             w_lx = st.lam_lx / st.s_lx
             w_ux = st.lam_ux / st.s_ux
@@ -223,14 +257,21 @@ def solve_ocp_qp(
         def newton_step(r_clx, r_cux, r_clu, r_cuu, r_elx=None, r_eux=None):
             """Eliminate (ds, de, dlam) for the given complementarity residuals
             and solve the stage-wise Newton system by Riccati. r_e* are the
-            e*(rho-lam) complementarity residuals (soft mode only)."""
+            e*nu complementarity residuals (soft mode only)."""
             if soft:
-                g_lx = r_slx + r_clx / st.lam_lx - r_elx / nu_lx
-                g_ux = r_sux + r_cux / st.lam_ux - r_eux / nu_ux
+                # cg = w * (r_s + r_c/lam - r_e/nu), computed fused over den
+                # so no division by a (possibly underflowed-to-zero) lam/nu.
+                cg_lx = (
+                    st.lam_lx * nu_lx * r_slx + nu_lx * r_clx - st.lam_lx * r_elx
+                ) / den_lx
+                cg_ux = (
+                    st.lam_ux * nu_ux * r_sux + nu_ux * r_cux - st.lam_ux * r_eux
+                ) / den_ux
+                corr_x = cg_lx - cg_ux
             else:
-                g_lx = r_slx + r_clx / st.lam_lx
-                g_ux = r_sux + r_cux / st.lam_ux
-            corr_x = w_lx * g_lx - w_ux * g_ux
+                corr_x = (r_clx + st.lam_lx * r_slx) / st.s_lx - (
+                    r_cux + st.lam_ux * r_sux
+                ) / st.s_ux
             corr_u = (r_clu + st.lam_lu * r_slu) / st.s_lu - (
                 r_cuu + st.lam_uu * r_suu
             ) / st.s_uu
@@ -243,10 +284,11 @@ def solve_ocp_qp(
             )
             ddx, ddu = sol.dx, sol.du
             if soft:
-                dlam_lx = -w_lx * (ddx + g_lx)
-                dlam_ux = -w_ux * (-ddx + g_ux)
-                # ds via the slack equation (cancellation-free: no division by
-                # the potentially tiny lam), then de from its complementarity.
+                dlam_lx = -(w_lx * ddx + cg_lx)
+                dlam_ux = w_ux * ddx - cg_ux
+                # de from the e-complementarity (nu is explicit state, kept
+                # positive by fraction-to-boundary), then ds exactly from the
+                # slack equation — no division by lam anywhere.
                 de_lx = (-r_elx + st.e_lx * dlam_lx) / nu_lx
                 de_ux = (-r_eux + st.e_ux * dlam_ux) / nu_ux
                 ds_lx = ddx + de_lx + r_slx
@@ -308,7 +350,11 @@ def solve_ocp_qp(
                 )
             gap_aff = gap_aff / m_total
             sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
-            target = jnp.maximum(sig * gap_now, 1e-14)
+            # Floor the centering target at a dtype-appropriate value: pushing
+            # mu below ~sqrt(eps)*typical-scale makes f32 complementarity
+            # products pure rounding noise (observed NaNs in the soft path).
+            t_floor = 1e-14 if dtype == jnp.float64 else 1e-10
+            target = jnp.maximum(sig * gap_now, t_floor)
             # Corrector: centering + second-order ds_aff * dlam_aff terms
             # (d(e)*d(nu) = -de_aff * dlam_aff for the soft pairs).
             re_c = (
@@ -357,9 +403,14 @@ def solve_ocp_qp(
             mu=st.mu,
             e_lx=st.e_lx + alpha_p * de[0] if soft else st.e_lx,
             e_ux=st.e_ux + alpha_p * de[1] if soft else st.e_ux,
+            nu_lx=st.nu_lx - alpha_d * dlam_lx if soft else st.nu_lx,
+            nu_ux=st.nu_ux - alpha_d * dlam_ux if soft else st.nu_ux,
         )
         gap = _gap(new)
-        return new._replace(mu=jnp.maximum(sigma * gap, 1e-12).astype(dtype))
+        new = new._replace(mu=jnp.maximum(sigma * gap, 1e-12).astype(dtype))
+        # Freeze once done (also discards any NaN computed past the validity
+        # floor — jnp.where keeps the pre-iteration state).
+        return jax.tree.map(lambda a, b: jnp.where(done, a, b), st, new)
 
     final = jax.lax.fori_loop(0, n_iter, body, state)
     return OcpQpSolution(dx=final.dx, du=final.du, gap=_gap(final))

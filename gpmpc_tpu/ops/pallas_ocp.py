@@ -119,34 +119,54 @@ class LanesQp(NamedTuple):
 
 def _ip_kernel_body(
     n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol, mehrotra: bool,
+    soft_rho,
     # refs: qp data
     A_ref, B_ref, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
     lx_ref, ux_ref, lu_ref, uu_ref,
     # outputs
     dx_out, du_out, gap_out,
-    # scratch
+    # scratch (+ elx_s, eux_s appended when soft_rho is not None)
     dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
     K_s, kff_s, rdyn_s, qhat_s, rhat_s, sigx_s, sigu_s, mu_s,
+    *soft_scratch,
 ):
     T = A_ref.shape[0]
     nx = A_ref.shape[1]
     nu = B_ref.shape[2]
     L = A_ref.shape[3]
     f32 = jnp.float32
+    soft = soft_rho is not None
+    if soft:
+        elx_s, eux_s, nulx_s, nuux_s = soft_scratch
 
     # ---- init: dx = du = 0, slacks clipped to the interior, duals mu0/s ----
     s_min = 1e-2
     dx_s[...] = jnp.zeros((T + 1, nx, L), f32)
     du_s[...] = jnp.zeros((T, nu, L), f32)
-    slx_s[...] = jnp.maximum(-lx_ref[...], s_min)
-    sux_s[...] = jnp.maximum(ux_ref[...], s_min)
+    if soft:
+        # L1-soft state bounds (see ops/boxqp.py module docstring for the
+        # bounded-multiplier formulation): s = dx + e - lx, multipliers in
+        # (0, rho), extra complementarity e * nu = mu per bound, with the
+        # penalty dual nu = rho - lam tracked EXPLICITLY (recomputing rho - lam
+        # quantizes to 0 in f32 once lam -> rho).
+        elx_s[...] = jnp.full((T + 1, nx, L), s_min, f32)
+        eux_s[...] = jnp.full((T + 1, nx, L), s_min, f32)
+        slx_s[...] = jnp.maximum(s_min - lx_ref[...], s_min)
+        sux_s[...] = jnp.maximum(ux_ref[...] + s_min, s_min)
+        llx_s[...] = jnp.minimum(mu0 / slx_s[...], 0.49 * soft_rho)
+        lux_s[...] = jnp.minimum(mu0 / sux_s[...], 0.49 * soft_rho)
+        nulx_s[...] = soft_rho - llx_s[...]
+        nuux_s[...] = soft_rho - lux_s[...]
+    else:
+        slx_s[...] = jnp.maximum(-lx_ref[...], s_min)
+        sux_s[...] = jnp.maximum(ux_ref[...], s_min)
+        llx_s[...] = mu0 / slx_s[...]
+        lux_s[...] = mu0 / sux_s[...]
     slu_s[...] = jnp.maximum(-lu_ref[...], s_min)
     suu_s[...] = jnp.maximum(uu_ref[...], s_min)
-    llx_s[...] = mu0 / slx_s[...]
-    lux_s[...] = mu0 / sux_s[...]
     llu_s[...] = mu0 / slu_s[...]
     luu_s[...] = mu0 / suu_s[...]
-    m_total = 2.0 * ((T + 1) * nx + T * nu)
+    m_total = 2.0 * ((T + 1) * nx + T * nu) + (2.0 * (T + 1) * nx if soft else 0.0)
 
     def lane_min(arr):  # (T?, n, L) -> (L,)
         return jnp.min(arr.reshape(-1, L), axis=0)
@@ -213,14 +233,33 @@ def _ip_kernel_body(
         du = du_s[...]
         slx, sux, slu, suu = slx_s[...], sux_s[...], slu_s[...], suu_s[...]
         llx, lux, llu, luu = llx_s[...], lux_s[...], llu_s[...], luu_s[...]
+        if soft:
+            elx, eux = elx_s[...], eux_s[...]
+            nulx, nuux = nulx_s[...], nuux_s[...]
+            # Fused barrier weight w = lam*nu/den, den = s*nu + e*lam >= 2*mu:
+            # never divides by a (possibly underflowed) lam alone — the naive
+            # w = 1/(s/lam + e/nu) NaNs in f32 (see boxqp.py). The max() caps
+            # w at 1e6 (proximal regularization): active-not-violated soft
+            # bounds otherwise diverge as lam*nu/(2*mu) and break the f32
+            # Riccati's positive-definiteness.
+            den_lx = slx * nulx + elx * llx
+            den_ux = sux * nuux + eux * lux
+            den_lx = jnp.maximum(den_lx, llx * nulx * 1e-6)
+            den_ux = jnp.maximum(den_ux, lux * nuux * 1e-6)
+            w_lx = llx * nulx / den_lx
+            w_ux = lux * nuux / den_ux
+        else:
+            elx = eux = nulx = nuux = den_lx = den_ux = None
+            w_lx = llx / slx
+            w_ux = lux / sux
 
-        # residuals
-        r_slx = dx - lx_ref[...] - slx
-        r_sux = ux_ref[...] - dx - sux
+        # residuals (soft: s = dx + e - lx / ux + e - dx)
+        r_slx = dx - lx_ref[...] - slx + (elx if soft else 0.0)
+        r_sux = ux_ref[...] - dx - sux + (eux if soft else 0.0)
         r_slu = du - lu_ref[...] - slu
         r_suu = uu_ref[...] - du - suu
 
-        sigx_s[...] = llx / slx + lux / sux
+        sigx_s[...] = w_lx + w_ux
         sigu_s[...] = llu / slu + luu / suu
 
         # dynamics residual r_dyn_k = A dx_k + B du_k + r - dx_{k+1}
@@ -229,21 +268,41 @@ def _ip_kernel_body(
                 _mv(A_ref[k], dx_s[k]) + _mv(B_ref[k], du_s[k]) + r_ref[k] - dx_s[k + 1]
             )
 
-        def directions(r_clx, r_cux, r_clu, r_cuu):
-            corr_x = (r_clx + llx * r_slx) / slx - (r_cux + lux * r_sux) / sux
+        def directions(r_clx, r_cux, r_clu, r_cuu, r_elx=None, r_eux=None):
+            if soft:
+                # cg = w * (r_s + r_c/lam - r_e/nu), fused over den (boxqp.py).
+                cg_lx = (llx * nulx * r_slx + nulx * r_clx - llx * r_elx) / den_lx
+                cg_ux = (lux * nuux * r_sux + nuux * r_cux - lux * r_eux) / den_ux
+                corr_x = cg_lx - cg_ux
+            else:
+                corr_x = (r_clx + llx * r_slx) / slx - (r_cux + lux * r_sux) / sux
             corr_u = (r_clu + llu * r_slu) / slu - (r_cuu + luu * r_suu) / suu
             ddx, ddu = solve_newton(corr_x, corr_u)
-            ds_lx = ddx + r_slx
-            ds_ux = r_sux - ddx
+            if soft:
+                dl_lx = -(w_lx * ddx + cg_lx)
+                dl_ux = w_ux * ddx - cg_ux
+                de_lx = (-r_elx + elx * dl_lx) / nulx
+                de_ux = (-r_eux + eux * dl_ux) / nuux
+                ds_lx = ddx + de_lx + r_slx
+                ds_ux = -ddx + de_ux + r_sux
+            else:
+                ds_lx = ddx + r_slx
+                ds_ux = r_sux - ddx
+                dl_lx = -(r_clx + llx * ds_lx) / slx
+                dl_ux = -(r_cux + lux * ds_ux) / sux
+                de_lx = de_ux = None
             ds_lu = ddu + r_slu
             ds_uu = r_suu - ddu
-            dl_lx = -(r_clx + llx * ds_lx) / slx
-            dl_ux = -(r_cux + lux * ds_ux) / sux
             dl_lu = -(r_clu + llu * ds_lu) / slu
             dl_uu = -(r_cuu + luu * ds_uu) / suu
-            return ddx, ddu, (ds_lx, ds_ux, ds_lu, ds_uu), (dl_lx, dl_ux, dl_lu, dl_uu)
+            return (
+                ddx, ddu,
+                (ds_lx, ds_ux, ds_lu, ds_uu),
+                (dl_lx, dl_ux, dl_lu, dl_uu),
+                (de_lx, de_ux),
+            )
 
-        def steps(ds, dl, t):
+        def steps(ds, dl, de, t):
             a_p = jnp.minimum(1.0, jnp.minimum(
                 jnp.minimum(lane_min(ratio(slx, ds[0], t)), lane_min(ratio(sux, ds[1], t))),
                 jnp.minimum(lane_min(ratio(slu, ds[2], t)), lane_min(ratio(suu, ds[3], t))),
@@ -252,16 +311,36 @@ def _ip_kernel_body(
                 jnp.minimum(lane_min(ratio(llx, dl[0], t)), lane_min(ratio(lux, dl[1], t))),
                 jnp.minimum(lane_min(ratio(llu, dl[2], t)), lane_min(ratio(luu, dl[3], t))),
             ))
+            if soft:
+                # e must stay positive (primal); nu = rho - lam positive (dual).
+                a_p = jnp.minimum(a_p, jnp.minimum(
+                    lane_min(ratio(elx, de[0], t)), lane_min(ratio(eux, de[1], t))
+                ))
+                a_d = jnp.minimum(a_d, jnp.minimum(
+                    lane_min(ratio(nulx, -dl[0], t)), lane_min(ratio(nuux, -dl[1], t))
+                ))
             return a_p, a_d
+
+        def gap_of(s_tup, l_tup, e_tup, nu_tup):
+            g = (
+                lane_sum(s_tup[0] * l_tup[0]) + lane_sum(s_tup[1] * l_tup[1])
+                + lane_sum(s_tup[2] * l_tup[2]) + lane_sum(s_tup[3] * l_tup[3])
+            )
+            if soft:
+                g = g + lane_sum(e_tup[0] * nu_tup[0])
+                g = g + lane_sum(e_tup[1] * nu_tup[1])
+            return g / m_total
 
         if mehrotra:
             # Affine predictor (per-lane adaptive centering, HPIPM's scheme).
-            gap_now = (
-                lane_sum(slx * llx) + lane_sum(sux * lux)
-                + lane_sum(slu * llu) + lane_sum(suu * luu)
-            ) / m_total
-            _, _, ds_a, dl_a = directions(slx * llx, sux * lux, slu * llu, suu * luu)
-            ap_a, ad_a = steps(ds_a, dl_a, 1.0)
+            gap_now = gap_of(
+                (slx, sux, slu, suu), (llx, lux, llu, luu), (elx, eux), (nulx, nuux)
+            )
+            _, _, ds_a, dl_a, de_a = directions(
+                slx * llx, sux * lux, slu * llu, suu * luu,
+                elx * nulx if soft else None, eux * nuux if soft else None,
+            )
+            ap_a, ad_a = steps(ds_a, dl_a, de_a, 1.0)
             ap_ = ap_a[None, None, :]
             ad_ = ad_a[None, None, :]
             gap_aff = (
@@ -269,21 +348,36 @@ def _ip_kernel_body(
                 + lane_sum((sux + ap_ * ds_a[1]) * (lux + ad_ * dl_a[1]))
                 + lane_sum((slu + ap_ * ds_a[2]) * (llu + ad_ * dl_a[2]))
                 + lane_sum((suu + ap_ * ds_a[3]) * (luu + ad_ * dl_a[3]))
-            ) / m_total
+            )
+            if soft:
+                gap_aff = gap_aff + lane_sum(
+                    (elx + ap_ * de_a[0]) * (nulx - ad_ * dl_a[0])
+                ) + lane_sum((eux + ap_ * de_a[1]) * (nuux - ad_ * dl_a[1]))
+            gap_aff = gap_aff / m_total
             sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
-            target = jnp.maximum(sig * gap_now, 1e-14)[None, None, :]
-            # Corrector: centering + second-order ds_aff*dlam_aff terms.
-            ddx, ddu, ds, dl = directions(
+            # Soft mode: per-lane f32 validity floor on the centering target —
+            # the exit is tile-global, so a converged lane keeps iterating
+            # while its tile-mates finish, and must not center into the regime
+            # where f32 barrier weights break the Riccati (see boxqp.py).
+            target = jnp.maximum(sig * gap_now, 1e-8 if soft else 1e-14)[None, None, :]
+            # Corrector: centering + second-order ds_aff*dlam_aff terms
+            # (d(e)*d(nu) = -de_aff * dlam_aff for the soft pairs).
+            ddx, ddu, ds, dl, de = directions(
                 slx * llx + ds_a[0] * dl_a[0] - target,
                 sux * lux + ds_a[1] * dl_a[1] - target,
                 slu * llu + ds_a[2] * dl_a[2] - target,
                 suu * luu + ds_a[3] * dl_a[3] - target,
+                elx * nulx - de_a[0] * dl_a[0] - target if soft else None,
+                eux * nuux - de_a[1] * dl_a[1] - target if soft else None,
             )
         else:
-            ddx, ddu, ds, dl = directions(slx * llx - mu, sux * lux - mu,
-                                          slu * llu - mu, suu * luu - mu)
+            ddx, ddu, ds, dl, de = directions(
+                slx * llx - mu, sux * lux - mu, slu * llu - mu, suu * luu - mu,
+                elx * nulx - mu if soft else None,
+                eux * nuux - mu if soft else None,
+            )
 
-        a_p, a_d = steps(ds, dl, tau)
+        a_p, a_d = steps(ds, dl, de, tau)
 
         dx_s[...] = dx + a_p[None, None, :] * ddx
         du_s[...] = du + a_p[None, None, :] * ddu
@@ -295,14 +389,20 @@ def _ip_kernel_body(
         lux_s[...] = lux + a_d[None, None, :] * dl[1]
         llu_s[...] = llu + a_d[None, None, :] * dl[2]
         luu_s[...] = luu + a_d[None, None, :] * dl[3]
+        if soft:
+            elx_s[...] = elx + a_p[None, None, :] * de[0]
+            eux_s[...] = eux + a_p[None, None, :] * de[1]
+            nulx_s[...] = nulx - a_d[None, None, :] * dl[0]
+            nuux_s[...] = nuux - a_d[None, None, :] * dl[1]
 
-        gap = (
-            lane_sum(slx_s[...] * llx_s[...])
-            + lane_sum(sux_s[...] * lux_s[...])
-            + lane_sum(slu_s[...] * llu_s[...])
-            + lane_sum(suu_s[...] * luu_s[...])
-        ) / m_total
-        return jnp.maximum(sigma * gap, 1e-12)
+        gap = gap_of(
+            (slx_s[...], sux_s[...], slu_s[...], suu_s[...]),
+            (llx_s[...], lux_s[...], llu_s[...], luu_s[...]),
+            (elx_s[...], eux_s[...]) if soft else (None, None),
+            (nulx_s[...], nuux_s[...]) if soft else (None, None),
+        )
+        # Same per-lane validity floor as the Mehrotra target (soft mode).
+        return jnp.maximum(sigma * gap, 1e-8 if soft else 1e-12)
 
     if adaptive_tol is None:
         mu = jax.lax.fori_loop(
@@ -328,23 +428,29 @@ def _ip_kernel_body(
     dx_out[...] = dx_s[...]
     du_out[...] = du_s[...]
     # Final per-lane complementarity gap (solve-quality diagnostic).
-    gap_out[0, :] = (
+    gap_final = (
         jnp.sum((slx_s[...] * llx_s[...]).reshape(-1, L), axis=0)
         + jnp.sum((sux_s[...] * lux_s[...]).reshape(-1, L), axis=0)
         + jnp.sum((slu_s[...] * llu_s[...]).reshape(-1, L), axis=0)
         + jnp.sum((suu_s[...] * luu_s[...]).reshape(-1, L), axis=0)
-    ) / m_total
+    )
+    if soft:
+        gap_final = gap_final + jnp.sum(
+            (elx_s[...] * nulx_s[...]).reshape(-1, L), axis=0
+        ) + jnp.sum((eux_s[...] * nuux_s[...]).reshape(-1, L), axis=0)
+    gap_out[0, :] = gap_final / m_total
 
 
 def _ip_kernel_body_streamed(
     n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol, mehrotra: bool,
-    C: int,
+    soft_rho, C: int,
     # refs: qp data — A/B live in HBM (ANY) and are DMA-streamed per chunk
     A_hbm, B_hbm, r_ref, qdiag_ref, qx_ref, rdiag_ref, ru_ref,
     lx_ref, ux_ref, lu_ref, uu_ref,
     # outputs
     dx_out, du_out, gap_out,
-    # scratch (fixed part; mehrotra adds ddxa_s/ddua_s before the DMA buffers)
+    # scratch (fixed part; mehrotra adds ddxa_s/ddua_s before the DMA buffers;
+    # soft_rho adds elx/eux/nulx/nuux after them)
     *scratch,
 ):
     """Same IP algorithm as `_ip_kernel_body`, reorganized for a long-horizon
@@ -364,11 +470,18 @@ def _ip_kernel_body_streamed(
         dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
         K_s, kff_s, rdyn_s, mu_s, ddx_s, ddu_s,
     ) = scratch[:16]
+    soft = soft_rho is not None
+    rest = list(scratch[16:])
     if mehrotra:
-        ddxa_s, ddua_s, Abuf, Bbuf, dma_sem = scratch[16:]
+        ddxa_s, ddua_s = rest[:2]
+        rest = rest[2:]
     else:
-        Abuf, Bbuf, dma_sem = scratch[16:]
         ddxa_s = ddua_s = None
+    Abuf, Bbuf, dma_sem = rest[:3]
+    if soft:
+        elx_s, eux_s, nulx_s, nuux_s = rest[3:]
+    else:
+        elx_s = eux_s = nulx_s = nuux_s = None
 
     T = r_ref.shape[0]
     nx = r_ref.shape[1]
@@ -401,15 +514,27 @@ def _ip_kernel_body_streamed(
     s_min = 1e-2
     dx_s[...] = jnp.zeros((T + 1, nx, L), f32)
     du_s[...] = jnp.zeros((T, nu, L), f32)
-    slx_s[...] = jnp.maximum(-lx_ref[...], s_min)
-    sux_s[...] = jnp.maximum(ux_ref[...], s_min)
+    if soft:
+        # Bounded-multiplier L1-soft state bounds (ops/boxqp.py): s = dx+e-lx,
+        # lam in (0, rho), extra pair e*nu = mu with nu = rho - lam explicit.
+        elx_s[...] = jnp.full((T + 1, nx, L), s_min, f32)
+        eux_s[...] = jnp.full((T + 1, nx, L), s_min, f32)
+        slx_s[...] = jnp.maximum(s_min - lx_ref[...], s_min)
+        sux_s[...] = jnp.maximum(ux_ref[...] + s_min, s_min)
+        llx_s[...] = jnp.minimum(mu0 / slx_s[...], 0.49 * soft_rho)
+        lux_s[...] = jnp.minimum(mu0 / sux_s[...], 0.49 * soft_rho)
+        nulx_s[...] = soft_rho - llx_s[...]
+        nuux_s[...] = soft_rho - lux_s[...]
+    else:
+        slx_s[...] = jnp.maximum(-lx_ref[...], s_min)
+        sux_s[...] = jnp.maximum(ux_ref[...], s_min)
+        llx_s[...] = mu0 / slx_s[...]
+        lux_s[...] = mu0 / sux_s[...]
     slu_s[...] = jnp.maximum(-lu_ref[...], s_min)
     suu_s[...] = jnp.maximum(uu_ref[...], s_min)
-    llx_s[...] = mu0 / slx_s[...]
-    lux_s[...] = mu0 / sux_s[...]
     llu_s[...] = mu0 / slu_s[...]
     luu_s[...] = mu0 / suu_s[...]
-    m_total = 2.0 * ((T + 1) * nx + T * nu)
+    m_total = 2.0 * ((T + 1) * nx + T * nu) + (2.0 * (T + 1) * nx if soft else 0.0)
 
     eye_x = jnp.eye(nx, dtype=f32)[:, :, None]
     eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
@@ -423,9 +548,28 @@ def _ip_kernel_body_streamed(
     def x_parts(k):
         slx_k, sux_k = slx_s[k], sux_s[k]
         llx_k, lux_k = llx_s[k], lux_s[k]
+        if soft:
+            elx_k, eux_k = elx_s[k], eux_s[k]
+            nlx_k, nux_k = nulx_s[k], nuux_s[k]
+            r_sl = dx_s[k] + elx_k - lx_ref[k] - slx_k
+            r_su = ux_ref[k] + eux_k - dx_s[k] - sux_k
+            return (slx_k, sux_k, llx_k, lux_k, r_sl, r_su,
+                    elx_k, eux_k, nlx_k, nux_k)
         r_sl = dx_s[k] - lx_ref[k] - slx_k
         r_su = ux_ref[k] - dx_s[k] - sux_k
         return slx_k, sux_k, llx_k, lux_k, r_sl, r_su
+
+    def x_weights(parts):
+        """Barrier weights of the (possibly soft) state bounds at one stage.
+        Soft: fused w = lam*nu/den, den = s*nu + e*lam >= 2*mu, capped at 1e6
+        via the denominator (see the resident kernel / ops/boxqp.py)."""
+        s_l, s_u, l_l, l_u = parts[:4]
+        if soft:
+            e_l, e_u, n_l, n_u = parts[6:10]
+            den_l = jnp.maximum(s_l * n_l + e_l * l_l, l_l * n_l * 1e-6)
+            den_u = jnp.maximum(s_u * n_u + e_u * l_u, l_u * n_u * 1e-6)
+            return l_l * n_l / den_l, l_u * n_u / den_u, den_l, den_u
+        return l_l / s_l, l_u / s_u, None, None
 
     def u_parts(k):
         slu_k, suu_k = slu_s[k], suu_s[k]
@@ -466,12 +610,73 @@ def _ip_kernel_body_streamed(
         dl_u = -(rc_u + l_u * ds_u) / s_u
         return ds_l, ds_u, dl_l, dl_u
 
+    # ---- x-type (possibly soft) per-stage algebra; u-type stays hard ----
+
+    def x_cg(parts, rc):
+        """Fused complementarity gradients cg = w*(r_s + r_c/lam - r_e/nu),
+        computed over den so no division by a possibly-underflowed lam/nu."""
+        s_l, s_u, l_l, l_u, r_sl, r_su, e_l, e_u, n_l, n_u = parts
+        rc_l, rc_u, re_l, re_u = rc
+        _, _, den_l, den_u = x_weights(parts)
+        cg_l = (l_l * n_l * r_sl + n_l * rc_l - l_l * re_l) / den_l
+        cg_u = (l_u * n_u * r_su + n_u * rc_u - l_u * re_u) / den_u
+        return cg_l, cg_u
+
+    def x_dsdl(parts, rc, dd_k):
+        """Direction components of the state-bound block given the state-space
+        direction dd_k. Hard: (ds_l, ds_u, dl_l, dl_u, None, None); soft adds
+        (de_l, de_u) and derives dl from the fused weights."""
+        if not soft:
+            return dsdl_of(parts, rc[0], rc[1], dd_k) + (None, None)
+        w_l, w_u, _, _ = x_weights(parts)
+        cg_l, cg_u = x_cg(parts, rc)
+        e_l, e_u, n_l, n_u = parts[6:10]
+        r_sl, r_su = parts[4:6]
+        re_l, re_u = rc[2:]
+        dl_l = -(w_l * dd_k + cg_l)
+        dl_u = w_u * dd_k - cg_u
+        de_l = (-re_l + e_l * dl_l) / n_l
+        de_u = (-re_u + e_u * dl_u) / n_u
+        ds_l = dd_k + de_l + r_sl
+        ds_u = -dd_k + de_u + r_su
+        return ds_l, ds_u, dl_l, dl_u, de_l, de_u
+
+    def x_rc(parts, dda_k, mode, mu, target):
+        """Complementarity correction residuals of the state bounds: a 2-tuple
+        (hard) or 4-tuple with the e*nu pairs (soft)."""
+        if not soft:
+            return rc_pair(parts, dda_k, mode, mu, target)
+        s_l, s_u, l_l, l_u = parts[:4]
+        e_l, e_u, n_l, n_u = parts[6:10]
+        c_l, c_u = s_l * l_l, s_u * l_u
+        ce_l, ce_u = e_l * n_l, e_u * n_u
+        affine = (c_l, c_u, ce_l, ce_u)
+        if mode == "fixed":
+            m = mu[None, :]
+            return c_l - m, c_u - m, ce_l - m, ce_u - m
+        if mode == "corrector":
+            ds_l, ds_u, dl_l, dl_u, de_l, de_u = x_dsdl(parts, affine, dda_k)
+            t = target[None, :]
+            # d(e)*d(nu) = -de_aff * dlam_aff for the soft pairs.
+            return (
+                c_l + ds_l * dl_l - t,
+                c_u + ds_u * dl_u - t,
+                ce_l - de_l * dl_l - t,
+                ce_u - de_u * dl_u - t,
+            )
+        return affine
+
     def x_corr_sig(k, mode, mu, target):
         parts = x_parts(k)
         dda_k = ddxa_s[k] if mode == "corrector" else None
-        rc_l, rc_u = rc_pair(parts, dda_k, mode, mu, target)
-        corr = corr_of(parts, rc_l, rc_u)
-        sig = parts[2] / parts[0] + parts[3] / parts[1]
+        rc = x_rc(parts, dda_k, mode, mu, target)
+        if soft:
+            cg_l, cg_u = x_cg(parts, rc)
+            corr = cg_l - cg_u
+        else:
+            corr = corr_of(parts, rc[0], rc[1])
+        w_l, w_u, _, _ = x_weights(parts)
+        sig = w_l + w_u
         return corr, sig
 
     def u_corr_sig(k, mode, mu, target):
@@ -571,12 +776,18 @@ def _ip_kernel_body_streamed(
             a_p, a_d = carry
             px = x_parts(k)
             dda_k = ddxa_s[k] if mode == "corrector" else None
-            rcx = rc_pair(px, dda_k, mode, mu, target)
-            dsx = dsdl_of(px, *rcx, ddx_ref[k])
+            rcx = x_rc(px, dda_k, mode, mu, target)
+            dsx = x_dsdl(px, rcx, ddx_ref[k])
             a_p = jnp.minimum(a_p, jnp.min(ratio(px[0], dsx[0], t), axis=0))
             a_p = jnp.minimum(a_p, jnp.min(ratio(px[1], dsx[1], t), axis=0))
             a_d = jnp.minimum(a_d, jnp.min(ratio(px[2], dsx[2], t), axis=0))
             a_d = jnp.minimum(a_d, jnp.min(ratio(px[3], dsx[3], t), axis=0))
+            if soft:
+                # e stays positive (primal); nu = rho - lam positive (dual).
+                a_p = jnp.minimum(a_p, jnp.min(ratio(px[6], dsx[4], t), axis=0))
+                a_p = jnp.minimum(a_p, jnp.min(ratio(px[7], dsx[5], t), axis=0))
+                a_d = jnp.minimum(a_d, jnp.min(ratio(px[8], -dsx[2], t), axis=0))
+                a_d = jnp.minimum(a_d, jnp.min(ratio(px[9], -dsx[3], t), axis=0))
 
             ku = jnp.minimum(k, T - 1)
             pu = u_parts(ku)
@@ -599,6 +810,10 @@ def _ip_kernel_body_streamed(
 
         def body(k, g):
             g = g + jnp.sum(slx_s[k] * llx_s[k] + sux_s[k] * lux_s[k], axis=0)
+            if soft:
+                g = g + jnp.sum(
+                    elx_s[k] * nulx_s[k] + eux_s[k] * nuux_s[k], axis=0
+                )
             ku = jnp.minimum(k, T - 1)
             gu = jnp.sum(slu_s[ku] * llu_s[ku] + suu_s[ku] * luu_s[ku], axis=0)
             return g + jnp.where(k < T, gu, 0.0)
@@ -618,8 +833,19 @@ def _ip_kernel_body_streamed(
 
         def body(k, g):
             px = x_parts(k)
-            rcx = rc_pair(px, None, "affine", None, None)
-            g = g + one(px, rcx, ddxa_s[k], ap_a[None, :], ad_a[None, :])
+            rcx = x_rc(px, None, "affine", None, None)
+            if soft:
+                ap, ad = ap_a[None, :], ad_a[None, :]
+                ds = x_dsdl(px, rcx, ddxa_s[k])
+                g = g + jnp.sum(
+                    (px[0] + ap * ds[0]) * (px[2] + ad * ds[2])
+                    + (px[1] + ap * ds[1]) * (px[3] + ad * ds[3])
+                    + (px[6] + ap * ds[4]) * (px[8] - ad * ds[2])
+                    + (px[7] + ap * ds[5]) * (px[9] - ad * ds[3]),
+                    axis=0,
+                )
+            else:
+                g = g + one(px, rcx, ddxa_s[k], ap_a[None, :], ad_a[None, :])
             ku = jnp.minimum(k, T - 1)
             pu = u_parts(ku)
             rcu = rc_pair(pu, None, "affine", None, None)
@@ -636,13 +862,18 @@ def _ip_kernel_body_streamed(
         def body(k, _):
             px = x_parts(k)
             dda_k = ddxa_s[k] if mode == "corrector" else None
-            rcx = rc_pair(px, dda_k, mode, mu, target)
-            dsx = dsdl_of(px, *rcx, ddx_s[k])
+            rcx = x_rc(px, dda_k, mode, mu, target)
+            dsx = x_dsdl(px, rcx, ddx_s[k])
             dx_s[k] = dx_s[k] + ap * ddx_s[k]
             slx_s[k] = px[0] + ap * dsx[0]
             sux_s[k] = px[1] + ap * dsx[1]
             llx_s[k] = px[2] + ad * dsx[2]
             lux_s[k] = px[3] + ad * dsx[3]
+            if soft:
+                elx_s[k] = px[6] + ap * dsx[4]
+                eux_s[k] = px[7] + ap * dsx[5]
+                nulx_s[k] = px[8] - ad * dsx[2]
+                nuux_s[k] = px[9] - ad * dsx[3]
 
             @pl.when(k < T)
             def _():
@@ -668,7 +899,8 @@ def _ip_kernel_body_streamed(
             ap_a, ad_a = steps_pass(ddxa_s, ddua_s, "affine", None, None, 1.0)
             gap_aff = affine_gap_pass(ap_a, ad_a)
             sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
-            target = jnp.maximum(sig * gap_now, 1e-14)
+            # Soft mode: per-lane f32 validity floor (see the resident kernel).
+            target = jnp.maximum(sig * gap_now, 1e-8 if soft else 1e-14)
             backward("corrector", None, target, compute_rdyn=False)
             forward(ddx_s, ddu_s)
             a_p, a_d = steps_pass(ddx_s, ddu_s, "corrector", None, target, tau)
@@ -678,7 +910,8 @@ def _ip_kernel_body_streamed(
             forward(ddx_s, ddu_s)
             a_p, a_d = steps_pass(ddx_s, ddu_s, "fixed", mu, None, tau)
             update_pass("fixed", mu, None, a_p, a_d)
-        return jnp.maximum(sigma * gap_pass(), 1e-12)
+        # Same per-lane f32 validity floor as the Mehrotra target (soft mode).
+        return jnp.maximum(sigma * gap_pass(), 1e-8 if soft else 1e-12)
 
     if adaptive_tol is None:
         jax.lax.fori_loop(
@@ -714,7 +947,10 @@ def _stream_chunk_size(T: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "interpret"),
+    static_argnames=(
+        "n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "soft_rho",
+        "interpret",
+    ),
 )
 def solve_ocp_qp_lanes_streamed(
     qp: LanesQp,
@@ -724,6 +960,7 @@ def solve_ocp_qp_lanes_streamed(
     tau: float = 0.995,
     adaptive_tol: float | None = None,
     mehrotra: bool = False,
+    soft_rho: float | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Long-horizon variant of `solve_ocp_qp_lanes`: identical IP semantics, but
@@ -744,8 +981,12 @@ def solve_ocp_qp_lanes_streamed(
     f32 = jnp.float32
     C = _stream_chunk_size(T)
 
+    if soft_rho is not None:
+        # f32 validity floor, as in the resident kernel (see ops/boxqp.py).
+        adaptive_tol = max(adaptive_tol or 0.0, 1e-8)
     kernel = functools.partial(
-        _ip_kernel_body_streamed, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra, C
+        _ip_kernel_body_streamed, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra,
+        soft_rho, C,
     )
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -777,6 +1018,13 @@ def solve_ocp_qp_lanes_streamed(
         pltpu.VMEM((2, C, nx, nu, L), f32),  # B double buffer
         pltpu.SemaphoreType.DMA((2, 2)),  # per-(slot, tensor) DMA semaphores
     ]
+    if soft_rho is not None:
+        scratch += [
+            pltpu.VMEM((T + 1, nx, L), f32),  # e_lx (soft violation slack)
+            pltpu.VMEM((T + 1, nx, L), f32),  # e_ux
+            pltpu.VMEM((T + 1, nx, L), f32),  # nu_lx = rho - lam_lx (explicit)
+            pltpu.VMEM((T + 1, nx, L), f32),  # nu_ux
+        ]
     dx, du, gap = pl.pallas_call(
         kernel,
         in_specs=[hbm(), hbm()] + [vm() for _ in range(9)],
@@ -794,7 +1042,10 @@ def solve_ocp_qp_lanes_streamed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "interpret"),
+    static_argnames=(
+        "n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "soft_rho",
+        "interpret",
+    ),
 )
 def solve_ocp_qp_lanes(
     qp: LanesQp,
@@ -804,6 +1055,7 @@ def solve_ocp_qp_lanes(
     tau: float = 0.995,
     adaptive_tol: float | None = None,
     mehrotra: bool = False,
+    soft_rho: float | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Solve a lane-tiled batch of OCP-QPs. Returns (dx (T+1,nx,L), du (T,nu,L),
@@ -813,15 +1065,50 @@ def solve_ocp_qp_lanes(
     the whole solve. mehrotra=True runs the predictor-corrector (two Riccati
     sweeps per iteration, per-lane adaptive centering — fewer iterations to a
     given gap; pair with adaptive_tol to bank the saved iterations).
+    soft_rho: L1 penalty weight for soft state bounds (the bounded-multiplier
+    formulation of ops/boxqp.py); costs two extra (T+1, nx, L) scratch arrays.
     """
     T, nx, _, L = qp.A.shape
     nu = qp.B.shape[2]
     f32 = jnp.float32
 
+    if soft_rho is not None:
+        # f32 validity floor: iterating the centering parameter below ~1e-8
+        # drives active-bound barrier weights past what a float32 Riccati can
+        # factor (see ops/boxqp.py gap_tol). The adaptive exit doubles as the
+        # numerical stop.
+        adaptive_tol = max(adaptive_tol or 0.0, 1e-8)
     kernel = functools.partial(
-        _ip_kernel_body, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra
+        _ip_kernel_body, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra, soft_rho
     )
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((T + 1, nx, L), f32),  # dx
+        pltpu.VMEM((T, nu, L), f32),  # du
+        pltpu.VMEM((T + 1, nx, L), f32),  # s_lx
+        pltpu.VMEM((T + 1, nx, L), f32),  # s_ux
+        pltpu.VMEM((T, nu, L), f32),  # s_lu
+        pltpu.VMEM((T, nu, L), f32),  # s_uu
+        pltpu.VMEM((T + 1, nx, L), f32),  # lam_lx
+        pltpu.VMEM((T + 1, nx, L), f32),  # lam_ux
+        pltpu.VMEM((T, nu, L), f32),  # lam_lu
+        pltpu.VMEM((T, nu, L), f32),  # lam_uu
+        pltpu.VMEM((T, nu, nx, L), f32),  # K
+        pltpu.VMEM((T, nu, L), f32),  # kff
+        pltpu.VMEM((T, nx, L), f32),  # r_dyn
+        pltpu.VMEM((T + 1, nx, L), f32),  # qhat
+        pltpu.VMEM((T, nu, L), f32),  # rhat
+        pltpu.VMEM((T + 1, nx, L), f32),  # sigma_x
+        pltpu.VMEM((T, nu, L), f32),  # sigma_u
+        pltpu.VMEM((1, L), f32),  # mu (adaptive-exit carry)
+    ]
+    if soft_rho is not None:
+        scratch += [
+            pltpu.VMEM((T + 1, nx, L), f32),  # e_lx (soft violation slack)
+            pltpu.VMEM((T + 1, nx, L), f32),  # e_ux
+            pltpu.VMEM((T + 1, nx, L), f32),  # nu_lx = rho - lam_lx (explicit)
+            pltpu.VMEM((T + 1, nx, L), f32),  # nu_ux
+        ]
     dx, du, gap = pl.pallas_call(
         kernel,
         in_specs=[vm() for _ in range(11)],
@@ -831,26 +1118,7 @@ def solve_ocp_qp_lanes(
             jax.ShapeDtypeStruct((T, nu, L), f32),
             jax.ShapeDtypeStruct((1, L), f32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((T + 1, nx, L), f32),  # dx
-            pltpu.VMEM((T, nu, L), f32),  # du
-            pltpu.VMEM((T + 1, nx, L), f32),  # s_lx
-            pltpu.VMEM((T + 1, nx, L), f32),  # s_ux
-            pltpu.VMEM((T, nu, L), f32),  # s_lu
-            pltpu.VMEM((T, nu, L), f32),  # s_uu
-            pltpu.VMEM((T + 1, nx, L), f32),  # lam_lx
-            pltpu.VMEM((T + 1, nx, L), f32),  # lam_ux
-            pltpu.VMEM((T, nu, L), f32),  # lam_lu
-            pltpu.VMEM((T, nu, L), f32),  # lam_uu
-            pltpu.VMEM((T, nu, nx, L), f32),  # K
-            pltpu.VMEM((T, nu, L), f32),  # kff
-            pltpu.VMEM((T, nx, L), f32),  # r_dyn
-            pltpu.VMEM((T + 1, nx, L), f32),  # qhat
-            pltpu.VMEM((T, nu, L), f32),  # rhat
-            pltpu.VMEM((T + 1, nx, L), f32),  # sigma_x
-            pltpu.VMEM((T, nu, L), f32),  # sigma_u
-            pltpu.VMEM((1, L), f32),  # mu (adaptive-exit carry)
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
     return dx, du, gap[0]

@@ -51,24 +51,33 @@ def _backward_step(carry, inputs):
     P_next, p_next = carry
     A, B, r, Qxx, qx, Ruu, ru = inputs
 
+    # Full-f32 matmuls, not the TPU MXU's bf16 default: the interior-point
+    # barrier pushes entries of P/Qxx to ~1e6-1e8 near convergence, and bf16's
+    # 8-bit mantissa (~0.4% relative error) is enough to lose Guu's positive-
+    # definiteness — observed as NaN Cholesky on TPU (soft bounds, T=50) while
+    # the identical f32 program was clean on CPU. The blocks are 12x12; the
+    # precision costs nothing measurable here.
+    prec = jax.lax.Precision.HIGHEST
+
     # Q-function blocks around the affine dynamics dx' = A dx + B du + r.
-    Fr_p = P_next @ r + p_next  # (nx,)
-    AtP = A.T @ P_next
-    BtP = B.T @ P_next
-    Gxx = Qxx + AtP @ A
-    Guu = Ruu + BtP @ B
-    Gxu = AtP @ B
-    gx = qx + A.T @ Fr_p
-    gu = ru + B.T @ Fr_p
+    mm = lambda a, b: jnp.matmul(a, b, precision=prec)
+    Fr_p = mm(P_next, r) + p_next  # (nx,)
+    AtP = mm(A.T, P_next)
+    BtP = mm(B.T, P_next)
+    Gxx = Qxx + mm(AtP, A)
+    Guu = Ruu + mm(BtP, B)
+    Gxu = mm(AtP, B)
+    gx = qx + mm(A.T, Fr_p)
+    gu = ru + mm(B.T, Fr_p)
 
     # du* = K dx + kff via Cholesky of the (nu, nu) block.
     chol = jnp.linalg.cholesky(Guu)
     K = -jax.scipy.linalg.cho_solve((chol, True), Gxu.T)
     kff = -jax.scipy.linalg.cho_solve((chol, True), gu)
 
-    P = Gxx + Gxu @ K
+    P = Gxx + mm(Gxu, K)
     P = 0.5 * (P + P.T)
-    p = gx + Gxu @ kff
+    p = gx + mm(Gxu, kff)
     return (P, p), (K, kff)
 
 
@@ -85,8 +94,9 @@ def riccati_solve(lq: LqProblem, dx0: jax.Array) -> LqSolution:
 
     def _forward_step(dx, inputs):
         A, B, r, K_k, kff_k = inputs
-        du = K_k @ dx + kff_k
-        dx_next = A @ dx + B @ du + r
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        du = mm(K_k, dx) + kff_k
+        dx_next = mm(A, dx) + mm(B, du) + r
         return dx_next, (dx, du)
 
     dx_T, (dx_path, du) = jax.lax.scan(_forward_step, dx0, (lq.A, lq.B, lq.r, K, kff))

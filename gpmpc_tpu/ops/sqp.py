@@ -58,7 +58,10 @@ class SqpConfig(NamedTuple):
     # HPIPM bounded-multiplier formulation in ops/boxqp.py) so aggressive
     # chance-constraint tightening degrades gracefully instead of producing an
     # infeasible QP. None = hard bounds. Input bounds are always hard (they are
-    # actuator limits). XLA backend only; the lanes backend clamps instead.
+    # actuator limits). Supported by the XLA backend at any horizon and by the
+    # lanes backend up to sqp_lanes.MAX_STREAM_HORIZON_SOFT (the four extra
+    # soft state arrays shrink the streamed kernel's resident budget); beyond
+    # that callers fall back to hard bounds + clamp (warned).
     soft_x_penalty: float | None = None
 
 

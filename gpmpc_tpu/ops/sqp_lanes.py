@@ -40,6 +40,10 @@ MAX_LANES_HORIZON = 50
 # looped elementwise phases, A/B via DMA) takes over.
 MAX_LANES_HORIZON_MEHROTRA = 25
 MAX_STREAM_HORIZON = 112
+# Soft state bounds keep four extra (T+1, nx, L) arrays resident in the
+# streamed kernel (violation slacks e and the explicit penalty duals nu), so
+# the resident-vector-state cap drops from ~118 KiB/stage to ~142 KiB/stage.
+MAX_STREAM_HORIZON_SOFT = 88
 # The in-kernel linearizer is stage-looped (one stage's temporaries live at a
 # time), so it covers the full lanes range; validated on v5e at T=50 and T=100.
 MAX_FUSED_HORIZON = MAX_STREAM_HORIZON
@@ -58,14 +62,38 @@ def _lane_width(T: int) -> int:
     return LANES
 
 
+def lanes_resident_cap(cfg: SqpConfig) -> int:
+    """Largest horizon served by the all-resident kernel for this config."""
+    return MAX_LANES_HORIZON_MEHROTRA if cfg.qp_mehrotra else MAX_LANES_HORIZON
+
+
+def lanes_horizon_cap(cfg: SqpConfig) -> int:
+    """Largest horizon the lanes backend serves for this config (resident or
+    streamed kernel; soft state bounds shrink the streamed cap)."""
+    return MAX_STREAM_HORIZON_SOFT if cfg.soft_x_penalty is not None else MAX_STREAM_HORIZON
+
+
 def _solve_qp_lanes(qp: LanesQp, cfg: SqpConfig, interpret: bool):
     """Dispatch one lane tile to the all-resident or A/B-streaming IP kernel."""
     T = qp.A.shape[0]
-    resident_cap = MAX_LANES_HORIZON_MEHROTRA if cfg.qp_mehrotra else MAX_LANES_HORIZON
-    solver = solve_ocp_qp_lanes if T <= resident_cap else solve_ocp_qp_lanes_streamed
-    return solver(
+    if T <= lanes_resident_cap(cfg):
+        return solve_ocp_qp_lanes(
+            qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
+            mehrotra=cfg.qp_mehrotra, soft_rho=cfg.soft_x_penalty,
+            interpret=interpret,
+        )
+    if cfg.soft_x_penalty is not None and T > MAX_STREAM_HORIZON_SOFT:
+        # Callers gate this (control/gpmpc.py falls back to clamped hard
+        # bounds, with a warning); reaching here means the gate was skipped.
+        raise ValueError(
+            "soft state bounds in the lanes backend are supported up to "
+            f"T={MAX_STREAM_HORIZON_SOFT} (got {T}); use hard bounds or the "
+            "xla backend"
+        )
+    return solve_ocp_qp_lanes_streamed(
         qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
-        mehrotra=cfg.qp_mehrotra, interpret=interpret,
+        mehrotra=cfg.qp_mehrotra, soft_rho=cfg.soft_x_penalty,
+        interpret=interpret,
     )
 
 

@@ -270,3 +270,167 @@ def test_lanes_step_T52_uses_streamed_and_matches_xla():
     np.testing.assert_allclose(
         np.asarray(st_f.X_warm), np.asarray(st_x.X_warm), atol=1e-2
     )
+
+
+def reference_solutions_soft(d, n_iter, rho, mehrotra=False):
+    dxs, dus = [], []
+    for b in range(L):
+        qp = OcpQpData(
+            A=jnp.asarray(d["A"][b]), B=jnp.asarray(d["B"][b]), r=jnp.asarray(d["r"][b]),
+            Qxx=jnp.asarray(np.stack([np.diag(q) for q in d["qdiag"][b]])),
+            qx=jnp.asarray(d["qx"][b]),
+            Ruu=jnp.asarray(np.stack([np.diag(q) for q in d["rdiag"][b]])),
+            ru=jnp.asarray(d["ru"][b]),
+            lx=jnp.asarray(d["lx"][b]), ux=jnp.asarray(d["ux"][b]),
+            lu=jnp.asarray(d["lu"][b]), uu=jnp.asarray(d["uu"][b]),
+        )
+        sol = solve_ocp_qp(qp, n_iter=n_iter, soft_x=rho, mehrotra=mehrotra)
+        dxs.append(np.asarray(sol.dx))
+        dus.append(np.asarray(sol.du))
+    return np.stack(dxs), np.stack(dus)
+
+
+def test_lanes_soft_matches_reference():
+    """Soft state bounds in the resident lanes kernel == the XLA soft IP,
+    on a problem whose tight boxes force real violations (rho below the hard
+    multipliers)."""
+    d = make_batch(2)
+    d["lx"][:, 1:, :] = -0.15  # tight: forces activations/violations
+    d["ux"][:, 1:, :] = 0.15
+    n_iter = 15
+    rho = 2.0
+    qp_lanes = to_lanes(d)
+    dx, du, gap = solve_ocp_qp_lanes(
+        qp_lanes, n_ip=n_iter, soft_rho=rho, interpret=True
+    )
+    assert np.all(np.asarray(gap) < 1e-3)
+    dx = np.moveaxis(np.asarray(dx), -1, 0)
+    du = np.moveaxis(np.asarray(du), -1, 0)
+    dx_ref, du_ref = reference_solutions_soft(d, n_iter, rho)
+    assert np.abs(dx_ref[:, 1:]).max() > 0.15 + 1e-3, "oracle should violate"
+    np.testing.assert_allclose(du, du_ref, atol=5e-4)
+    np.testing.assert_allclose(dx, dx_ref, atol=5e-4)
+
+
+def test_lanes_soft_mehrotra_matches_reference():
+    d = make_batch(3)
+    d["lx"][:, 1:, :] = -0.2
+    d["ux"][:, 1:, :] = 0.2
+    rho = 3.0
+    qp_lanes = to_lanes(d)
+    dx, du, gap = solve_ocp_qp_lanes(
+        qp_lanes, n_ip=10, soft_rho=rho, mehrotra=True, interpret=True
+    )
+    dx = np.moveaxis(np.asarray(dx), -1, 0)
+    du = np.moveaxis(np.asarray(du), -1, 0)
+    dx_ref, du_ref = reference_solutions_soft(d, 15, rho, mehrotra=True)
+    np.testing.assert_allclose(du, du_ref, atol=1e-3)
+    np.testing.assert_allclose(dx, dx_ref, atol=1e-3)
+
+
+def test_lanes_soft_crossed_bounds_finite():
+    """Crossed boxes (over-aggressive tightening) stay well-posed in-kernel."""
+    d = make_batch(4)
+    d["lx"][:, 1:, :] = 0.3
+    d["ux"][:, 1:, :] = -0.3  # lower ABOVE upper
+    qp_lanes = to_lanes(d)
+    dx, du, gap = solve_ocp_qp_lanes(
+        qp_lanes, n_ip=15, soft_rho=5.0, interpret=True
+    )
+    assert np.all(np.isfinite(np.asarray(dx)))
+    assert np.all(np.isfinite(np.asarray(du)))
+    dx_ref, du_ref = reference_solutions_soft(d, 15, 5.0)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(du), -1, 0), du_ref, atol=1e-3
+    )
+
+
+def test_lanes_soft_step_matches_xla_soft_step():
+    """Controller-level parity with soft constraints on both backends."""
+    from functools import partial
+
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.utils.benchkit import Q_MPC, R_MPC, reference_prior_dict
+
+    B = 4
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=reference_prior_dict())
+    ctrl = GPMPC(
+        model, env.trajectory, reference_prior_dict(), horizon=5,
+        q_mpc=Q_MPC, r_mpc=R_MPC, sparse_gp=False, seed=0, max_gp_points=16,
+        sqp_iters=2, qp_iters=8, soft_constraints=50.0,
+    )
+    # Large (but not box-crossing) variance so the soft path is exercised.
+    gp = ctrl.gp_model._replace(
+        hypers=ctrl.gp_model.hypers._replace(
+            raw_outputscale=jnp.full((3,), 30.0, jnp.float32)
+        ),
+        trained=jnp.asarray(True),
+    )
+    rng = np.random.default_rng(0)
+    obs = jnp.asarray(
+        env.trajectory[:B] + 0.01 * rng.normal(size=(B, 12)), jnp.float32
+    )
+    states = jax.vmap(lambda i: mpc_mod.init_state(5, 12, 4)._replace(
+        traj_step=jnp.asarray(1, jnp.int32),
+        X_warm=jnp.tile(obs[i][None], (6, 1)),
+    ))(jnp.arange(B))
+    u_lanes, _, info_lanes = gpmpc_mod.batched_select_action_lanes(
+        model, ctrl.cfg, ctrl.consts, gp, states, obs, interpret=True
+    )
+    step = partial(gpmpc_mod.select_action, model, ctrl.cfg)
+    u_xla, _, info_xla = jax.vmap(lambda s, o: step(ctrl.consts, gp, s, o))(states, obs)
+    np.testing.assert_allclose(np.asarray(u_lanes), np.asarray(u_xla), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(info_lanes.soft_viol), np.asarray(info_xla.soft_viol), atol=2e-3
+    )
+
+
+def test_streamed_soft_matches_resident():
+    """Soft state bounds in the A/B-streaming kernel: the same bounded-
+    multiplier algorithm as the resident kernel, on a problem whose tight
+    boxes force real violations."""
+    d = make_batch(5)
+    d["lx"][:, 1:, :] = -0.15
+    d["ux"][:, 1:, :] = 0.15
+    rho = 2.0
+    qp_lanes = to_lanes(d)
+    for kwargs in (dict(), dict(mehrotra=True)):
+        dx_r, du_r, gap_r = solve_ocp_qp_lanes(
+            qp_lanes, n_ip=15, soft_rho=rho, interpret=True, **kwargs
+        )
+        dx_s, du_s, gap_s = solve_ocp_qp_lanes_streamed(
+            qp_lanes, n_ip=15, soft_rho=rho, interpret=True, **kwargs
+        )
+        # The streamed kernel recomputes the per-stage corrections instead of
+        # storing them — same algebra, different f32 accumulation order.
+        np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_r), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(du_s), np.asarray(du_r), atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(gap_s), np.asarray(gap_r), rtol=1e-1, atol=1e-9
+        )
+
+
+def test_streamed_soft_T52_matches_boxqp():
+    """Long-horizon streamed solve with soft state bounds == the XLA soft IP,
+    per scenario (chunked DMA loops + the soft per-stage algebra together)."""
+    t = 52
+    d = make_batch(6, t=t, scale=0.3)
+    d["lx"][:, 1:, :] = -0.3
+    d["ux"][:, 1:, :] = 0.3
+    rho = 2.0
+    n_iter = 15
+    qp_lanes = to_lanes(d)
+    dx, du, gap = solve_ocp_qp_lanes_streamed(
+        qp_lanes, n_ip=n_iter, soft_rho=rho, interpret=True
+    )
+    dx = np.moveaxis(np.asarray(dx), -1, 0)
+    du = np.moveaxis(np.asarray(du), -1, 0)
+    dx_ref, du_ref = reference_solutions_soft(d, n_iter, rho)
+    assert np.abs(dx_ref[:, 1:]).max() > 0.3 + 1e-3, "oracle should violate"
+    np.testing.assert_allclose(du, du_ref, atol=5e-4)
+    np.testing.assert_allclose(dx, dx_ref, atol=5e-4)
