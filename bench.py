@@ -95,6 +95,9 @@ def main():
         ctrl.cfg = ctrl.cfg._replace(kernel_linearize=True)
     if os.environ.get("BENCH_MEHROTRA", "1") == "1":
         ctrl.cfg = ctrl.cfg._replace(qp_mehrotra=True)
+    if os.environ.get("BENCH_WARM_SHIFT", "0") == "1":
+        # RTI-style time-aligned warm start (ops/sqp.py SqpConfig.warm_shift).
+        ctrl.cfg = ctrl.cfg._replace(warm_shift=True)
     if os.environ.get("BENCH_ANALYTIC_JAC", "0") == "1":
         # analytic dynamics Jacobians (models/jacobians.py). Measured SLOWER on
         # TPU at B=512 (19.9k vs 30.8k solves/s): the RK4 Jacobian chain's 12x12

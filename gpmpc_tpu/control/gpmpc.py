@@ -289,6 +289,36 @@ def propagate_constraint_limits(
     return tightening_from_variances(consts, gp, z7, covs_diag)
 
 
+def disturbance_diagonals(
+    consts: GpMpcConsts,
+    gp: GpModel,
+    z7: jax.Array,  # (T, 7) GP inputs along the previous solution
+    covs_diag: jax.Array,  # (3, T) predictive variances (precomputed)
+) -> jax.Array:
+    """Per-stage diagonals of the 5x5 disturbance covariance (GP variance
+    rotated into world axes + observation noise), (T, 5). ≙ gpmpc.py:452-469.
+    Shared by the XLA scan and the lanes tightening kernel."""
+    phi = z7[:, 1]
+    theta = z7[:, 4]
+    f_ax = (jnp.cos(phi) * jnp.sin(theta)) ** 2
+    f_ay = jnp.sin(phi) ** 2
+    f_az = (jnp.cos(phi) * jnp.cos(theta)) ** 2
+
+    dt2 = consts.dt**2
+    noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6  # (3,)
+    cov_d = jnp.stack(
+        [covs_diag[0] * f_ax, covs_diag[0] * f_ay, covs_diag[0] * f_az,
+         covs_diag[1], covs_diag[2]],
+        axis=1,
+    )  # (T, 5)
+    cov_n = jnp.stack(
+        [noise[0] * f_ax, noise[0] * f_ay, noise[0] * f_az,
+         jnp.full_like(f_ax, noise[1]), jnp.full_like(f_ax, noise[2])],
+        axis=1,
+    )
+    return (cov_d + cov_n) * dt2
+
+
 def tightening_from_variances(
     consts: GpMpcConsts,
     gp: GpModel,
@@ -299,33 +329,13 @@ def tightening_from_variances(
     batched callers can compute the variances with one fused kernel over all
     scenarios (see batched_prepare_step)."""
     nx = consts.Ad.shape[0]
-
-    phi = z7[:, 1]
-    theta = z7[:, 4]
-    f_ax = (jnp.cos(phi) * jnp.sin(theta)) ** 2
-    f_ay = jnp.sin(phi) ** 2
-    f_az = (jnp.cos(phi) * jnp.cos(theta)) ** 2
-
-    dt2 = consts.dt**2
-    noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6  # (3,)
-    # Diagonals of the 5x5 disturbance covariance per stage (gpmpc.py:452-469).
-    cov_d = jnp.stack(
-        [covs_diag[0] * f_ax, covs_diag[0] * f_ay, covs_diag[0] * f_az,
-         covs_diag[1], covs_diag[2]],
-        axis=1,
-    ) * dt2  # (T, 5)
-    cov_n = jnp.stack(
-        [noise[0] * f_ax, noise[0] * f_ay, noise[0] * f_az,
-         jnp.full_like(f_ax, noise[1]), jnp.full_like(f_ax, noise[2])],
-        axis=1,
-    ) * dt2
+    cov_dn = disturbance_diagonals(consts, gp, z7, covs_diag)
 
     K = consts.lqr_gain
     A, B, Bd = consts.Ad, consts.Bd_in, consts.Bd
     ppf = consts.inverse_cdf
 
-    def step(cov_x, inputs):
-        cov_d_k, cov_n_k = inputs
+    def step(cov_x, cov_dn_k):
         cov_xu = cov_x @ K.T
         cov_u = K @ cov_x @ K.T
         t_x = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_x), 0.0))
@@ -335,12 +345,12 @@ def tightening_from_variances(
             + A @ cov_xu @ B.T
             + B @ cov_xu.T @ A.T
             + B @ cov_u @ B.T
-            + Bd @ jnp.diag(cov_d_k + cov_n_k) @ Bd.T
+            + Bd @ jnp.diag(cov_dn_k) @ Bd.T
         )
         return cov_next, (t_x, t_u)
 
     cov0 = jnp.zeros((nx, nx), z7.dtype)
-    cov_T, (t_x_path, t_u) = jax.lax.scan(step, cov0, (cov_d, cov_n))
+    cov_T, (t_x_path, t_u) = jax.lax.scan(step, cov0, cov_dn)
     t_x_term = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_T), 0.0))
     t_x = jnp.concatenate([t_x_path, t_x_term[None]], axis=0)
     return t_x, t_u
@@ -507,15 +517,34 @@ def batched_prepare_step(
     var_backend: str = "auto",
     var_bf16: bool = False,
     soft: bool = False,
+    tighten_backend: str = "auto",
+    interpret: bool = False,
 ):
     """Batch-first step preparation: the GP variance work for all B scenarios
     runs as one fused pass (the hot-path integration of the GP-inference
-    kernel), then the small per-scenario covariance scans vmap."""
+    kernel), and the T-step covariance recursion runs lane-packed in one Pallas
+    launch (ops/pallas_tighten.py) — under XLA the vmapped scan of 12x12
+    products was 42% of the whole default-config step (measured)."""
     z7 = jax.vmap(lambda s: gp_input_from_xu(s.X_warm[:-1], s.U_warm))(states)  # (B, T, 7)
     covs = batched_variances(gp, slice_gp_inputs(z7), var_backend, var_bf16)  # (3, B, T)
-    t_x, t_u = jax.vmap(
-        lambda z7_b, cv_b: tightening_from_variances(consts, gp, z7_b, cv_b)
-    )(z7, jnp.moveaxis(covs, 1, 0))
+    if tighten_backend == "auto":
+        tighten_backend = (
+            "pallas" if (jax.default_backend() == "tpu" or interpret) else "xla"
+        )
+    if tighten_backend == "pallas":
+        from gpmpc_tpu.ops.pallas_tighten import tighten_lanes
+
+        cov_dn = jax.vmap(
+            lambda z7_b, cv_b: disturbance_diagonals(consts, gp, z7_b, cv_b)
+        )(z7, jnp.moveaxis(covs, 1, 0))  # (B, T, 5)
+        t_x, t_u = tighten_lanes(
+            cov_dn, consts.Ad, consts.Bd_in, consts.lqr_gain, consts.Bd,
+            consts.inverse_cdf, interpret=interpret,
+        )
+    else:
+        t_x, t_u = jax.vmap(
+            lambda z7_b, cv_b: tightening_from_variances(consts, gp, z7_b, cv_b)
+        )(z7, jnp.moveaxis(covs, 1, 0))
     return jax.vmap(
         lambda s, o, tx, tu: _bounds_from_tightening(consts, gp, s, o, tx, tu, soft=soft)
     )(states, obs, t_x, t_u)
@@ -534,6 +563,9 @@ def select_action(
     xref, bounds, X_init, U_init, clamp_frac = prepare_step(
         model, consts, gp, state, obs, soft=cfg.soft_x_penalty is not None
     )
+    if cfg.warm_shift:
+        X_init = jnp.concatenate([X_init[1:], X_init[-1:]], axis=0)
+        U_init = jnp.concatenate([U_init[1:], U_init[-1:]], axis=0)
     fd = partial(augmented_fd, model, gp)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     sol = sqp_solve(fd, cost, bounds, obs, X_init, U_init, cfg)
@@ -589,8 +621,11 @@ def batched_select_action_lanes(
     soft = cfg.soft_x_penalty is not None
     xref, bounds, X_init, U_init, clamp_frac = batched_prepare_step(
         model, consts, gp, states, obs, var_backend=var_backend, var_bf16=var_bf16,
-        soft=soft,
+        soft=soft, interpret=interpret,
     )
+    if cfg.warm_shift:
+        X_init = jnp.concatenate([X_init[:, 1:], X_init[:, -1:]], axis=1)
+        U_init = jnp.concatenate([U_init[:, 1:], U_init[:, -1:]], axis=1)
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     # The fused kernel-linearize path covers the lanes horizon range (the
     # linearizer is stage-looped; the QP dispatches resident/streamed); horizons

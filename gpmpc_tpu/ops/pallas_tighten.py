@@ -1,0 +1,141 @@
+"""Lane-packed Pallas kernel for the chance-constraint covariance recursion.
+
+The T-step tightening scan (control/gpmpc.py::tightening_from_variances,
+≙ reference gpmpc.py:478-495) is a sequential recursion of tiny matrix
+products per scenario:
+
+    cov' = A cov A' + A (cov K') B' + B (K cov) A' + B (K cov K') B' + Bd D Bd'
+
+with nx=12, nu=4 blocks and SHARED (A, B, K, Bd) — only the disturbance
+diagonal D varies per scenario/stage. Under XLA the vmapped scan lowers to
+batched 12x12 GEMMs at <0.1% MXU utilization and costs ~42% of the default
+GP-MPC step (measured 4.99 ms of 11.84 ms at B=1024 on a v5e). Here the
+scenario batch rides the 128-lane axis (the same mapping as ops/pallas_ocp.py):
+the running covariance is a VMEM-resident (nx, nx, L) tile, every product is a
+full-width VPU op, and the whole recursion is one kernel launch.
+
+The shared matrices enter pre-replicated across the lane axis ((a, b, L),
+~73 KB each): Mosaic cannot broadcast a (a, 1, 1) slice into sublanes AND
+lanes at once ("Broadcast in both sublanes and lanes" — hit with the
+(a, b, 1) form), and replicating four tiny matrices once per launch is free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpmpc_tpu.ops.pallas_ocp import LANES, _mm, _t
+
+
+def _tighten_kernel_body(
+    T: int, nx: int, nu: int, nd: int,
+    # refs
+    covdn_ref,  # (T, nd, L) disturbance-covariance diagonals per stage
+    A_ref,  # (nx, nx, L) shared discrete prior Jacobian (lane-replicated)
+    B_ref,  # (nx, nu, L) shared input matrix
+    K_ref,  # (nu, nx, L) shared LQR ansatz gain
+    Bd_ref,  # (nx, nd, L) shared uncertainty-injection matrix
+    ppf_ref,  # (1, 1) chance-constraint quantile
+    # outputs
+    tx_out,  # (T + 1, nx, L)
+    tu_out,  # (T, nu, L)
+    # scratch
+    cov_s,  # (nx, nx, L)
+):
+    L = covdn_ref.shape[2]
+    f32 = jnp.float32
+    eye_x = jnp.eye(nx, dtype=f32)[:, :, None]
+    eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
+    A = A_ref[...]
+    B = B_ref[...]
+    K = K_ref[...]
+    Bd = Bd_ref[...]
+    At = _t(A)
+    Bt = _t(B)
+    Kt = _t(K)
+    Bdt = _t(Bd)
+    ppf = ppf_ref[0, 0]
+
+    cov_s[...] = jnp.zeros((nx, nx, L), f32)
+
+    def diag_of(m, eye):
+        return jnp.sum(m * eye, axis=1)  # (n, L)
+
+    def body(k, _):
+        cov = cov_s[...]
+        cov_xu = _mm(cov, Kt)  # (nx, nu, L)
+        cov_u = _mm(K, cov_xu)  # (nu, nu, L)
+        tx_out[k] = ppf * jnp.sqrt(jnp.maximum(diag_of(cov, eye_x), 0.0))
+        tu_out[k] = ppf * jnp.sqrt(jnp.maximum(diag_of(cov_u, eye_u), 0.0))
+        Acov = _mm(A, cov)  # (nx, nx, L)
+        term_ax = _mm(Acov, At)
+        term_xu = _mm(_mm(A, cov_xu), Bt)  # A cov K' B'
+        term_u = _mm(_mm(B, cov_u), Bt)
+        dist = Bd * covdn_ref[k][None, :, :]  # (nx, nd, L): Bd diag(D)
+        term_d = _mm(dist, Bdt)
+        cov_s[...] = (
+            term_ax + term_xu + jnp.swapaxes(term_xu, 0, 1) + term_u + term_d
+        )
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+    tx_out[T] = ppf * jnp.sqrt(jnp.maximum(diag_of(cov_s[...], eye_x), 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tighten_lanes(
+    cov_dn: jax.Array,  # (B, T, nd) per-scenario disturbance diagonals
+    Ad: jax.Array,  # (nx, nx)
+    Bd_in: jax.Array,  # (nx, nu)
+    lqr_gain: jax.Array,  # (nu, nx)
+    Bd: jax.Array,  # (nx, nd)
+    inverse_cdf: jax.Array,  # scalar
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched tightening recursion. Returns (t_x (B, T+1, nx), t_u (B, T, nu)).
+
+    Matches control/gpmpc.py::tightening_from_variances given the same
+    disturbance diagonals (parity-locked in tests/test_pallas_tighten.py)."""
+    B, T, nd = cov_dn.shape
+    nx = Ad.shape[0]
+    nu = Bd_in.shape[1]
+    f32 = jnp.float32
+
+    B_pad = B + ((-B) % LANES)
+    n_tiles = B_pad // LANES
+    x = jnp.pad(cov_dn.astype(f32), ((0, B_pad - B), (0, 0), (0, 0)))
+    x = jnp.moveaxis(x, 0, -1).reshape(T, nd, n_tiles, LANES)
+    tiles = jnp.moveaxis(x, 2, 0)  # (n_tiles, T, nd, LANES)
+
+    kernel = functools.partial(_tighten_kernel_body, T, nx, nu, nd)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def tile_solve(covdn_t):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[vm() for _ in range(6)],
+            out_specs=[vm(), vm()],
+            out_shape=[
+                jax.ShapeDtypeStruct((T + 1, nx, LANES), f32),
+                jax.ShapeDtypeStruct((T, nu, LANES), f32),
+            ],
+            scratch_shapes=[pltpu.VMEM((nx, nx, LANES), f32)],
+            interpret=interpret,
+        )(
+            covdn_t,
+            jnp.broadcast_to(Ad.astype(f32)[:, :, None], (nx, nx, LANES)),
+            jnp.broadcast_to(Bd_in.astype(f32)[:, :, None], (nx, nu, LANES)),
+            jnp.broadcast_to(lqr_gain.astype(f32)[:, :, None], (nu, nx, LANES)),
+            jnp.broadcast_to(Bd.astype(f32)[:, :, None], (nx, nd, LANES)),
+            jnp.reshape(inverse_cdf.astype(f32), (1, 1)),
+        )
+
+    tx_t, tu_t = jax.lax.map(tile_solve, tiles)
+    tx = jnp.moveaxis(jnp.moveaxis(tx_t, 0, -2).reshape(T + 1, nx, B_pad), -1, 0)
+    tu = jnp.moveaxis(jnp.moveaxis(tu_t, 0, -2).reshape(T, nu, B_pad), -1, 0)
+    return tx[:B], tu[:B]

@@ -63,6 +63,15 @@ class SqpConfig(NamedTuple):
     # soft state arrays shrink the streamed kernel's resident budget); beyond
     # that callers fall back to hard bounds + clamp (warned).
     soft_x_penalty: float | None = None
+    # RTI-style warm-start shift: initialize the SQP from the previous solution
+    # advanced by one stage (X[1:] + repeated terminal state) so the warm start
+    # is time-aligned with the new problem. The tightening still linearizes
+    # around the UNSHIFTED previous solution (reference semantics,
+    # gpmpc.py:438). Off by default: matches the reference's unshifted acados
+    # warm start, and measured NOT faster here (86.9k vs 89.2k solves/s at the
+    # default bench config — with adaptive-exit SQP/IP, the unshifted warm
+    # start is already inside the one-iteration convergence basin at dt=0.02).
+    warm_shift: bool = False
 
 
 class OcpCost(NamedTuple):
