@@ -97,12 +97,19 @@ def batched_episode(
     param_scale: float | None = None,
     backend: str = "xla",
     interpret: bool = False,
+    gp_batched: bool = False,
 ) -> EpisodeResult:
     """Full closed-loop episodes for B scenarios as one scanned XLA program.
 
     With `param_scale`, every scenario runs against its own randomized plant
     coefficients (BASELINE config 3: domain-randomized rollouts) while the
     controller keeps the shared prior/GP model.
+
+    With `gp_batched=True`, every `gp` leaf carries a leading B axis and each
+    scenario runs its OWN GP model — a population of independently-learned
+    controllers evaluated as one program (the multi-seed learning sweep,
+    parallel/sweep.py, rides this; the reference can only run such populations
+    as sequential processes).
 
     backend="lanes" (requires use_gp=True) runs the controller step through the
     lane-packed Pallas kernels with the batch axis inside the scan — the
@@ -114,12 +121,15 @@ def batched_episode(
     if backend == "lanes":
         if not use_gp:
             raise ValueError("backend='lanes' requires use_gp=True (GP-MPC step)")
+        if gp_batched:
+            # The lanes kernels stage ONE shared GP into VMEM per tile.
+            raise ValueError("backend='lanes' requires a shared GP (gp_batched=False)")
         return _batched_episode_lanes(
             model, cfg, env_params, consts, gp, keys, n_steps,
             param_scale=param_scale, interpret=interpret,
         )
 
-    def single_episode(key):
+    def single_episode(gp_i, key):
         k_env, k_par = jax.random.split(key)
         if param_scale is None:
             plant = drone.params_to_array(env_params.params)
@@ -132,7 +142,7 @@ def batched_episode(
             env_state, ctrl_state, obs = carry
             if use_gp:
                 u, ctrl_state, _ = gpmpc_mod.select_action(
-                    model, cfg, consts, gp, ctrl_state, obs
+                    model, cfg, consts, gp_i, ctrl_state, obs
                 )
             else:
                 u, ctrl_state, _ = mpc_mod.select_action(
@@ -149,7 +159,7 @@ def batched_episode(
         obs_full = jnp.concatenate([obs0[None], obs_path], axis=0)
         return EpisodeResult(obs=obs_full, actions=actions, rewards=rewards)
 
-    return jax.vmap(single_episode)(keys)
+    return jax.vmap(single_episode, in_axes=(0 if gp_batched else None, 0))(gp, keys)
 
 
 def _batched_episode_lanes(

@@ -131,6 +131,30 @@ def plot_learning_curve(avg_rewards, num_points_per_epoch, stem, save_dir: Path)
     _write_csv(save_dir / f"{stem}.csv", f"train_steps,{stem.lower()}", x, y)
 
 
+def plot_learning_curve_band(costs, num_points_per_epoch, stem, save_dir: Path,
+                             ylabel: str = "Cost"):
+    """<stem>.png + <stem>.csv for a multi-seed sweep (parallel/sweep.py).
+
+    `costs` is (n_epochs+1, S): row 0 the prior controller's evaluation cost,
+    rows 1.. the per-epoch GP-MPC costs, one column per seed. The figure shows
+    the mean with a +/-1 std band plus faint per-seed traces; the CSV carries
+    the full distribution summary per epoch.
+    """
+    costs = np.asarray(costs)
+    x = np.asarray(num_points_per_epoch)
+    mean, std = costs.mean(axis=1), costs.std(axis=1)
+    with _new_figure(save_dir / f"{stem}.png") as (fig, ax):
+        ax.plot(x, costs, color="tab:blue", alpha=0.2, linewidth=0.8)
+        ax.plot(x, mean, color="tab:blue", label=f"mean ({costs.shape[1]} seeds)")
+        ax.fill_between(x, mean - std, mean + std, color="tab:blue", alpha=0.3,
+                        label="+/- 1 std")
+        ax.set(title=f"Avg Episode {ylabel} ({costs.shape[1]} seeds)",
+               xlabel="Training Steps", ylabel=ylabel)
+        ax.legend()
+    _write_csv(save_dir / f"{stem}.csv", "train_steps,mean,std,min,max",
+               x, mean, std, costs.min(axis=1), costs.max(axis=1))
+
+
 def plot_xyz_trajectory(runs, ref, save_dir: Path):
     """xyz_path.png: XY / XZ / YZ plane projections of every epoch's path."""
     ref = np.asarray(ref)

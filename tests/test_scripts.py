@@ -25,3 +25,17 @@ def test_run_multihost_virtual_smoke():
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"metric"' in r.stdout and "multihost_4dev" in r.stdout, r.stdout
+
+
+def test_eval_seeds_smoke(tmp_path):
+    r = run([
+        "scripts/eval_seeds.py", "--fast", "--seeds", "2",
+        "--epochs", "1", "--steps", "16",
+    ], timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "seeds improved over prior" in r.stdout, r.stdout
+    # The artifact pair lands in the timestamped save dir the script printed.
+    line = [l for l in r.stdout.splitlines() if l.startswith("artifacts:")][0]
+    stem = Path(line.split(" ", 1)[1].rsplit(".png", 1)[0].replace("/learning_curve_seeds", "") )
+    assert (stem / "learning_curve_seeds.png").exists()
+    assert (stem / "learning_curve_seeds.csv").exists()
