@@ -1,0 +1,293 @@
+"""Micro-batching GP-MPC serving runtime.
+
+Production serving for the controller: many concurrent control loops (drones,
+simulation workers, HIL rigs) share ONE chip by packing their per-step solves
+into a single lane tile. The classic dynamic-batching inference-server design
+(collect requests for up to `max_wait_ms`, run one fixed-shape device program,
+scatter results) maps cleanly onto this framework because the batched GP-MPC
+step is already one compiled program over a padded scenario axis
+(`parallel/batch.py::batched_gpmpc_step`): batch occupancy is data, not shape,
+so every dispatch — 1 request or `tile` requests — reuses the same executable.
+
+The reference has no serving story at all: one acados solve per process per
+step through a ctypes boundary (SURVEY.md §3.5). Here one v5e chip serves
+~91k solves/s at full occupancy (README), and a half-empty tile costs the same
+wall-clock as a full one — idle slots simply re-solve their stale observation
+and their results are discarded (their warm-start state is NOT committed, so
+session semantics are exact).
+
+Design notes:
+  * Sessions are slots in the tile. Each slot owns an `MpcState` (SQP warm
+    start + trajectory position) living on-device; a step commits the new
+    state ONLY for slots that actually requested this dispatch.
+  * The GP model is hot-swappable (`update_gp`) between dispatches: padded GP
+    buffers make the swap a pure data update — no recompile, no downtime.
+    This is the online-learning serving loop: collect transitions at the
+    edge, refit centrally, push the new GpModel.
+  * Thread model: client threads block in `step()` on a per-request event;
+    one dispatcher thread owns all device-state mutation. The GIL is released
+    during device execution, so client-side env stepping overlaps the solve.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.control import mpc as mpc_mod
+from gpmpc_tpu.control.gpmpc import GpModel, GpMpcConsts
+from gpmpc_tpu.models.symbolic import SymbolicModel
+from gpmpc_tpu.ops.sqp import SqpConfig
+from gpmpc_tpu.parallel.batch import batched_gpmpc_step, cfg_horizon
+
+
+class ServerStats(NamedTuple):
+    n_requests: int
+    n_batches: int
+
+    @property
+    def mean_batch_size(self) -> float:
+        return self.n_requests / self.n_batches if self.n_batches else 0.0
+
+
+class _Request(NamedTuple):
+    slot: int
+    obs: np.ndarray
+    done: threading.Event
+    out: dict
+
+
+_SHUTDOWN = None  # queue sentinel
+
+
+class ControlServer:
+    """Serve GP-MPC actions to concurrent control sessions with micro-batching.
+
+    Usage:
+        server = ControlServer(model, cfg, consts, gp, tile=128)
+        sid = server.open_session()
+        u = server.step(sid, obs)          # thread-safe, blocking
+        server.update_gp(new_gp)           # hot-swap after a retrain
+        server.close_session(sid); server.close()
+    """
+
+    def __init__(
+        self,
+        model: SymbolicModel,
+        cfg: SqpConfig,
+        consts: GpMpcConsts,
+        gp: GpModel,
+        tile: int = 128,
+        backend: str = "lanes",
+        max_wait_ms: float = 2.0,
+        pipeline_depth: int = 2,
+    ):
+        self._consts, self._gp = consts, gp
+        self._tile = tile
+        self._max_wait_s = max_wait_ms / 1e3
+        T, nx, nu = cfg_horizon(consts), model.nx, model.nu
+        self._state0 = mpc_mod.init_state(T, nx, nu)
+        self._states = jax.tree.map(
+            lambda l: jnp.tile(l[None], (tile,) + (1,) * l.ndim), self._state0
+        )
+        # Benign placeholder obs for never-used slots: the trajectory start.
+        self._obs = jnp.tile(
+            jnp.asarray(consts.mpc.traj[0], jnp.float32)[None], (tile, 1)
+        )
+        self._nx = nx
+
+        step_fn = partial(batched_gpmpc_step, model, cfg, backend=backend)
+
+        def dispatch(consts_, gp_, states, obs_buf, slots, obs_new):
+            """One fixed-shape device program per dispatch, any occupancy.
+
+            `slots` is always (tile,) — real requests first, padding = `tile`
+            (out of range). Padded scatters are dropped (`mode="drop"`), so a
+            1-request dispatch and a full-tile dispatch run the SAME compiled
+            executable: occupancy is data, not shape. Crucially this keeps the
+            whole dispatch as one jitted call — per-request eager index ops
+            would cost a host<->device round-trip each (catastrophic through
+            the remote-TPU tunnel, measured 3.2 s/dispatch vs ~5 ms jitted).
+            """
+            obs_buf = obs_buf.at[slots].set(obs_new, mode="drop")
+            u, new_states, _info = step_fn(consts_, gp_, states, obs_buf)
+            safe = jnp.clip(slots, 0, tile - 1)
+            # Commit warm-start state ONLY for stepped slots: idle slots'
+            # recomputed states are discarded so their session clocks
+            # (traj_step) don't advance.
+            states = jax.tree.map(
+                lambda old, new: old.at[slots].set(
+                    jnp.take(new, safe, axis=0), mode="drop"
+                ),
+                states,
+                new_states,
+            )
+            return u, states, obs_buf
+
+        self._dispatch = jax.jit(dispatch)
+
+        self._lock = threading.Lock()  # guards device state + slot pool + gp
+        self._stats_lock = threading.Lock()
+        self._free = list(range(tile))
+        self._queue: queue.Queue = queue.Queue()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._pipeline_depth = max(1, pipeline_depth)
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=self._pipeline_depth, thread_name_prefix="gpmpc-fetch"
+        )
+        self._dispatcher = threading.Thread(target=self._run, daemon=True)
+        self._dispatcher.start()
+
+    # -- session management ------------------------------------------------
+
+    def open_session(self) -> int:
+        """Claim a slot; its warm-start state is reset to a fresh controller."""
+        with self._lock:
+            if not self._free:
+                raise RuntimeError(f"all {self._tile} session slots in use")
+            slot = self._free.pop()
+            self._states = jax.tree.map(
+                lambda s, s0: s.at[slot].set(s0), self._states, self._state0
+            )
+            return slot
+
+    def close_session(self, slot: int) -> None:
+        with self._lock:
+            if slot in self._free:
+                raise ValueError(f"session {slot} is not open")
+            self._free.append(slot)
+
+    def update_gp(self, gp: GpModel) -> None:
+        """Hot-swap the GP model (same pytree structure -> zero recompiles)."""
+        with self._lock:
+            self._gp = gp
+
+    @property
+    def stats(self) -> ServerStats:
+        return ServerStats(self._n_requests, self._n_batches)
+
+    # -- serving -----------------------------------------------------------
+
+    def step(self, slot: int, obs) -> np.ndarray:
+        """Request one action for session `slot` at observation `obs` (blocking)."""
+        obs = np.asarray(obs, np.float32)
+        if obs.shape != (self._nx,):  # fail in the caller, not the dispatcher
+            raise ValueError(f"obs shape {obs.shape} != ({self._nx},)")
+        req = _Request(slot, obs, threading.Event(), {})
+        self._queue.put(req)
+        req.done.wait()
+        if "error" in req.out:
+            raise req.out["error"]
+        return req.out["action"]
+
+    def close(self) -> None:
+        self._queue.put(_SHUTDOWN)
+        self._dispatcher.join()
+
+    # -- dispatcher thread ---------------------------------------------------
+
+    def _collect(self, block: bool) -> list[_Request] | None:
+        """Gather a batch: first request (blocking or not), then drain arrivals
+        for max_wait_ms. Returns None on shutdown, [] if non-blocking and idle."""
+        try:
+            first = self._queue.get() if block else self._queue.get_nowait()
+        except queue.Empty:
+            return []
+        if first is _SHUTDOWN:
+            return None
+        batch = [first]
+        t_end = time.monotonic() + self._max_wait_s
+        while len(batch) < self._tile:
+            remaining = t_end - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is _SHUTDOWN:
+                self._queue.put(_SHUTDOWN)  # re-post for the outer loop
+                break
+            batch.append(req)
+        return batch
+
+    def _launch(self, batch: list[_Request]):
+        """Issue one dispatch (async on device) for `batch`; no host sync here.
+
+        jax dispatch is asynchronous, so consecutive launches queue on the
+        device back-to-back — the device never waits for the host-side result
+        fetch of an earlier batch.
+        """
+        # Last write wins if a client double-submits one slot in a batch
+        # (contract: one in-flight request per session).
+        n = len(batch)
+        slots = np.full(self._tile, self._tile, np.int32)  # pad = dropped
+        slots[:n] = [r.slot for r in batch]
+        obs_new = np.zeros((self._tile, self._nx), np.float32)
+        obs_new[:n] = [r.obs for r in batch]
+        with self._lock:
+            u, self._states, self._obs = self._dispatch(
+                self._consts, self._gp, self._states, self._obs,
+                jnp.asarray(slots), jnp.asarray(obs_new),
+            )
+        return batch, slots[:n], u
+
+    def _deliver(self, batch: list[_Request], slots: np.ndarray, u) -> None:
+        """Fetch a dispatched batch's actions and wake its waiters.
+
+        Runs on the fetch pool: device->host fetch latency dominates per-batch
+        cost on remote-attached TPUs (~25 ms through the tunnel vs ~3 ms of
+        device compute, measured), so concurrent fetches of pipelined batches
+        overlap their round-trips instead of serializing behind one another.
+        """
+        try:
+            actions = jax.device_get(u)[slots]
+            with self._stats_lock:
+                self._n_requests += len(batch)
+                self._n_batches += 1
+            for req, a in zip(batch, actions):
+                req.out["action"] = a
+                req.done.set()
+        except Exception as e:  # surface device errors to every waiter
+            for req in batch:
+                req.out["error"] = e
+                req.done.set()
+
+    def _run(self) -> None:
+        inflight: deque = deque()
+        stop = False
+        while True:
+            # Keep up to `pipeline_depth` batches in flight: the device (and
+            # the fetch pool) stay busy while clients of delivered batches
+            # compute their next observation.
+            while not stop and len(inflight) < self._pipeline_depth:
+                batch = self._collect(block=not inflight and not stop)
+                if batch is None:
+                    stop = True
+                elif not batch:
+                    break
+                else:
+                    try:
+                        launched = self._launch(batch)
+                    except Exception as e:  # fail the batch, keep serving
+                        for req in batch:
+                            req.out["error"] = e
+                            req.done.set()
+                        continue
+                    inflight.append(self._fetch_pool.submit(self._deliver, *launched))
+            if not inflight:
+                if stop:
+                    self._fetch_pool.shutdown(wait=True)
+                    return
+                continue
+            inflight.popleft().result()

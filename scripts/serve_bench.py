@@ -1,0 +1,128 @@
+"""Serving-throughput benchmark for the micro-batching control server.
+
+Spawns C client threads, each an independent control session replaying a
+realistic observation stream (recorded from one batched closed-loop episode),
+and measures served actions/s end-to-end through the dynamic-batching
+dispatcher (gpmpc_tpu/runtime/server.py). Prints one JSON line.
+
+Usage:
+  python scripts/serve_bench.py [--clients 64] [--steps 50] [--tile 128]
+                                [--backend lanes|xla] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None)
+    p.add_argument("--clients", type=int, default=64)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--tile", type=int, default=128)
+    p.add_argument("--backend", default="lanes")
+    p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--pipeline", type=int, default=2, help="in-flight batch depth")
+    args = p.parse_args()
+    if args.clients > args.tile:
+        p.error(f"--clients {args.clients} > --tile {args.tile}: sessions are tile slots")
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.parallel.batch import batched_episode
+    from gpmpc_tpu.runtime.server import ControlServer
+    from gpmpc_tpu.utils.benchkit import Q_MPC, R_MPC, reference_prior_dict
+
+    prior = reference_prior_dict()
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(
+        model, env.trajectory, prior, horizon=25, q_mpc=Q_MPC, r_mpc=R_MPC,
+        sparse_gp=True, max_gp_samples=40, seed=1, sqp_iters=6, qp_iters=10,
+    )
+    rng = np.random.default_rng(0)
+    ctrl.train_gp(
+        rng.normal(0, 0.3, (40, 7)).astype(np.float32),
+        rng.normal(0, 0.3, (40, 3)).astype(np.float32),
+        lr=0.05, iterations=50,
+    )
+
+    # Realistic per-client observation streams: one batched closed-loop episode.
+    # Cap the recording batch; clients beyond it replay a stream modulo (the
+    # serving path doesn't care whether two clients fly the same trajectory).
+    n_streams = min(args.clients, 64)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_streams)
+    ep = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, ctrl.gp_model, keys, args.steps,
+        use_gp=True,
+    )
+    obs_streams = np.asarray(jax.device_get(ep.obs))  # (n_streams, steps+1, 12)
+
+    server = ControlServer(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model,
+        tile=args.tile, backend=args.backend, max_wait_ms=args.max_wait_ms,
+        pipeline_depth=args.pipeline,
+    )
+    barrier = threading.Barrier(args.clients + 1)
+
+    def client(i):
+        sid = server.open_session()
+        stream = obs_streams[i % len(obs_streams)]
+        barrier.wait()  # start together (also absorbs the first-compile cost)
+        for k in range(args.steps):
+            u = server.step(sid, stream[k])
+            assert np.all(np.isfinite(u))
+        server.close_session(sid)
+
+    # Warm the compiled dispatch before timing.
+    warm = server.open_session()
+    server.step(warm, obs_streams[0, 0])
+    server.close_session(warm)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    s0 = server.stats
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    s1 = server.stats
+    server.close()
+
+    total = args.clients * args.steps
+    stats = type(s1)(s1.n_requests - s0.n_requests, s1.n_batches - s0.n_batches)
+    print(json.dumps({
+        "metric": "served_actions_per_sec",
+        "value": round(total / wall, 1),
+        "unit": "actions/s",
+        "clients": args.clients,
+        "tile": args.tile,
+        "backend": args.backend,
+        "mean_batch_size": round(stats.mean_batch_size, 2),
+        "n_batches": stats.n_batches,
+        "mean_dispatch_ms": round(1e3 * wall / stats.n_batches, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Serving runtime (runtime/server.py): micro-batched sessions, exact semantics.
+
+CPU, xla backend, small tile — the serving logic is backend-agnostic; the lanes
+backend's numerical parity with the single step is covered by
+tests/test_pallas_ocp.py.
+"""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.control import gpmpc as gpmpc_mod
+from gpmpc_tpu.control import mpc as mpc_mod
+from gpmpc_tpu.control.gpmpc import GPMPC
+from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams
+from gpmpc_tpu.models.symbolic import symbolic_attitude
+from gpmpc_tpu.runtime.server import ControlServer
+
+PRIOR = {
+    "a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
+    "e": 39.8653, "f": -72.08, "h": -7.5755, "l": 39.8653,
+}
+Q = [8, 0.1, 8, 0.1, 8, 0.1, 0.5, 0.5, 0.5, 0.001, 0.001, 0.001]
+R = [3, 3, 3, 0.1]
+
+
+def make_ctrl(horizon=6):
+    env = DroneFigureEightEnv(EnvParams.default()._replace(n_steps=64, traj_amplitude=0.1))
+    model = symbolic_attitude(dt=0.02, params=PRIOR)
+    ctrl = GPMPC(
+        model, env.trajectory, PRIOR, horizon=horizon, q_mpc=Q, r_mpc=R,
+        sparse_gp=True, max_gp_samples=8, seed=0, max_gp_points=32,
+        sqp_iters=3, qp_iters=5,
+    )
+    rng = np.random.default_rng(0)
+    ctrl.train_gp(
+        rng.normal(0, 0.3, (16, 7)).astype(np.float32),
+        rng.normal(0, 0.3, (16, 3)).astype(np.float32),
+        lr=0.05, iterations=20,
+    )
+    return env, model, ctrl
+
+
+def make_server(tile=8, max_wait_ms=50.0):
+    env, model, ctrl = make_ctrl()
+    server = ControlServer(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model,
+        tile=tile, backend="xla", max_wait_ms=max_wait_ms,
+    )
+    return env, model, ctrl, server
+
+
+def test_server_matches_serial_controller():
+    env, model, ctrl, server = make_server()
+    try:
+        sid = server.open_session()
+        obs, _ = env.reset(seed=3)
+        obs_seq, act_seq = [np.asarray(obs)], []
+        for _ in range(8):
+            u = server.step(sid, obs)
+            act_seq.append(np.asarray(u))
+            obs, *_ = env.step(jnp.asarray(u))
+            obs_seq.append(np.asarray(obs))
+        # Serial reference: the functional single-controller step consuming the
+        # SAME observation sequence must produce the same actions.
+        state = mpc_mod.init_state(6, 12, 4)
+        for k, o in enumerate(obs_seq[:-1]):
+            u_ref, state, _ = gpmpc_mod.select_action(
+                model, ctrl.cfg, ctrl.consts, ctrl.gp_model, state, jnp.asarray(o)
+            )
+            np.testing.assert_allclose(act_seq[k], np.asarray(u_ref), atol=1e-4)
+    finally:
+        server.close()
+
+
+def test_server_batches_concurrent_clients():
+    env_params = EnvParams.default()._replace(n_steps=64, traj_amplitude=0.1)
+    _, model, ctrl, server = make_server(max_wait_ms=200.0)
+    n_clients, n_rounds = 4, 5
+    barrier = threading.Barrier(n_clients)
+    failures = []
+
+    def client(seed):
+        try:
+            env = DroneFigureEightEnv(env_params)
+            sid = server.open_session()
+            obs, _ = env.reset(seed=seed)
+            for _ in range(n_rounds):
+                barrier.wait()  # release the round together -> batchable
+                u = server.step(sid, obs)
+                assert np.all(np.isfinite(u))
+                obs, *_ = env.step(jnp.asarray(u))
+            server.close_session(sid)
+        except Exception as e:  # pragma: no cover - surfaced via failures
+            failures.append(e)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.close()
+    assert not failures, failures
+    stats = server.stats
+    assert stats.n_requests == n_clients * n_rounds
+    # Synchronized rounds + generous max_wait -> real batching must happen.
+    assert stats.mean_batch_size > 1.5, stats
+
+
+def test_session_reset_on_reopen():
+    env, model, ctrl, server = make_server()
+    try:
+        obs0, _ = env.reset(seed=5)
+        sid = server.open_session()
+        first = server.step(sid, obs0)
+        server.step(sid, obs0 + 0.01)
+        server.step(sid, obs0 + 0.02)
+        server.close_session(sid)
+        sid2 = server.open_session()
+        assert sid2 == sid  # LIFO slot pool: same slot, must be reset
+        again = server.step(sid2, obs0)
+        np.testing.assert_allclose(np.asarray(first), np.asarray(again), atol=1e-6)
+    finally:
+        server.close()
+
+
+def test_gp_hotswap_changes_actions_without_recompile():
+    env, model, ctrl, server = make_server()
+    try:
+        obs0, _ = env.reset(seed=7)
+        sid = server.open_session()
+        u_before = server.step(sid, obs0)
+        rng = np.random.default_rng(9)
+        ctrl.train_gp(
+            rng.normal(0, 0.5, (24, 7)).astype(np.float32),
+            rng.normal(0, 0.5, (24, 3)).astype(np.float32),
+            lr=0.05, iterations=20,
+        )
+        server.update_gp(ctrl.gp_model)
+        # Re-open to compare from identical warm state.
+        server.close_session(sid)
+        sid = server.open_session()
+        u_after = server.step(sid, obs0)
+        assert np.all(np.isfinite(u_after))
+        assert not np.allclose(np.asarray(u_before), np.asarray(u_after), atol=1e-6)
+    finally:
+        server.close()
+
+
+def test_slot_exhaustion_raises():
+    _, model, ctrl, server = make_server(tile=2)
+    try:
+        server.open_session()
+        server.open_session()
+        try:
+            server.open_session()
+            raised = False
+        except RuntimeError:
+            raised = True
+        assert raised
+    finally:
+        server.close()
+
+
+def test_bad_obs_shape_rejected_in_caller():
+    _, model, ctrl, server = make_server()
+    try:
+        sid = server.open_session()
+        try:
+            server.step(sid, np.zeros(13, np.float32))
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+        # The server must still be alive and serving after the bad request.
+        env = DroneFigureEightEnv(EnvParams.default()._replace(n_steps=64, traj_amplitude=0.1))
+        obs, _ = env.reset(seed=1)
+        u = server.step(sid, obs)
+        assert np.all(np.isfinite(u))
+    finally:
+        server.close()
