@@ -90,6 +90,7 @@ class ControlServer:
         backend: str = "lanes",
         max_wait_ms: float = 2.0,
         pipeline_depth: int = 2,
+        record_capacity: int = 0,
     ):
         self._consts, self._gp = consts, gp
         self._tile = tile
@@ -145,6 +146,14 @@ class ControlServer:
         self._fetch_pool = ThreadPoolExecutor(
             max_workers=self._pipeline_depth, thread_name_prefix="gpmpc-fetch"
         )
+        # Online-learning hooks: with record_capacity > 0 the server keeps the
+        # most recent (x, u, x_next) transitions observed across all sessions —
+        # the raw material for a background GP refit + update_gp() hot-swap
+        # (runtime/online.py::OnlineLearner).
+        self._record_lock = threading.Lock()
+        self._transitions: deque = deque(maxlen=record_capacity or None)
+        self._record = record_capacity > 0
+        self._pending_rec: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
 
@@ -159,13 +168,30 @@ class ControlServer:
             self._states = jax.tree.map(
                 lambda s, s0: s.at[slot].set(s0), self._states, self._state0
             )
-            return slot
+        with self._record_lock:
+            self._pending_rec.pop(slot, None)  # no cross-session transitions
+        return slot
 
     def close_session(self, slot: int) -> None:
         with self._lock:
             if slot in self._free:
                 raise ValueError(f"session {slot} is not open")
             self._free.append(slot)
+        with self._record_lock:
+            self._pending_rec.pop(slot, None)
+
+    def drain_transitions(self):
+        """Pop all recorded (x, u, x_next) transitions as three stacked arrays
+        (empty (0, .) arrays if none). Requires record_capacity > 0."""
+        with self._record_lock:
+            items = list(self._transitions)
+            self._transitions.clear()
+        if not items:
+            nx = self._nx
+            return (np.zeros((0, nx), np.float32), np.zeros((0, 4), np.float32),
+                    np.zeros((0, nx), np.float32))
+        x, u, x_next = (np.stack(c) for c in zip(*items))
+        return x, u, x_next
 
     def update_gp(self, gp: GpModel) -> None:
         """Hot-swap the GP model (same pytree structure -> zero recompiles)."""
@@ -255,6 +281,16 @@ class ControlServer:
             with self._stats_lock:
                 self._n_requests += len(batch)
                 self._n_batches += 1
+            if self._record:
+                # A transition (x_k, u_k, x_{k+1}) completes when the SAME
+                # session's next observation arrives; per-slot ordering is
+                # guaranteed by the one-in-flight-request-per-session contract.
+                with self._record_lock:
+                    for req, a in zip(batch, actions):
+                        prev = self._pending_rec.get(req.slot)
+                        if prev is not None:
+                            self._transitions.append((prev[0], prev[1], req.obs))
+                        self._pending_rec[req.slot] = (req.obs, np.asarray(a))
             for req, a in zip(batch, actions):
                 req.out["action"] = a
                 req.done.set()

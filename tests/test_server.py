@@ -180,3 +180,43 @@ def test_bad_obs_shape_rejected_in_caller():
         assert np.all(np.isfinite(u))
     finally:
         server.close()
+
+
+def test_online_learning_loop():
+    """collect at the edge -> drain -> refit -> hot-swap, all while serving."""
+    from gpmpc_tpu.runtime.online import OnlineLearner
+
+    env_params = EnvParams.default()._replace(n_steps=64, traj_amplitude=0.1)
+    env, model, ctrl = make_ctrl()
+    server = ControlServer(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model,
+        tile=8, backend="xla", max_wait_ms=20.0, record_capacity=256,
+    )
+    try:
+        n_steps = 10
+        envs = [DroneFigureEightEnv(env_params) for _ in range(2)]
+        sids = [server.open_session() for _ in range(2)]
+        obs = [e.reset(seed=i)[0] for i, e in enumerate(envs)]
+        for _ in range(n_steps):
+            for i in (0, 1):
+                u = server.step(sids[i], obs[i])
+                obs[i], *_ = envs[i].step(jnp.asarray(u))
+        x, u_arr, x_next = server.drain_transitions()
+        # Each session yields one transition per step after its first request.
+        assert x.shape[0] == 2 * (n_steps - 1), x.shape
+        assert u_arr.shape == (x.shape[0], 4) and x_next.shape == x.shape
+
+        learner = OnlineLearner(model, PRIOR, capacity=64, max_inducing=8,
+                                n_train=10, lr=0.05)
+        assert learner.ingest(x, u_arr, x_next) == x.shape[0]
+        gp_new = learner.refit()
+        assert bool(gp_new.trained)
+        server.update_gp(gp_new)
+        # Serving continues on the swapped model.
+        u = server.step(sids[0], obs[0])
+        assert np.all(np.isfinite(u))
+        # Draining again after the pop returns only the new transitions.
+        x2, _, _ = server.drain_transitions()
+        assert x2.shape[0] <= 2
+    finally:
+        server.close()
