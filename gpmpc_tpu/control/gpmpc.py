@@ -166,6 +166,20 @@ def pack_training_data(x7: jax.Array, y3: jax.Array, max_points: int) -> GPData:
     return GPData(x=Z, y=Y, mask=mask)
 
 
+def pack_training_buffers(bufx: jax.Array, bufy: jax.Array, count) -> GPData:
+    """Padded (cap, 7)/(cap, 3) buffers + traced active-row count -> masked GPData.
+
+    The traced-count sibling of `pack_training_data`: rows >= `count` stay in
+    the buffers but are masked out of the likelihood/posterior, so dataset
+    growth inside a jitted program (the seed sweep, the online learner) never
+    changes shapes."""
+    cap = bufx.shape[0]
+    mask = (jnp.arange(cap) < count).astype(bufx.dtype)
+    return GPData(
+        x=slice_gp_inputs(bufx), y=bufy.T, mask=jnp.tile(mask[None], (NUM_GPS, 1))
+    )
+
+
 def train_gp_models(
     data: GPData,  # leaves batched over the 3 GPs
     key: jax.Array,

@@ -34,12 +34,10 @@ import jax.numpy as jnp
 from gpmpc_tpu.control.gpmpc import (
     GpModel,
     GpMpcConsts,
-    GPData,
     empty_gp_model,
+    pack_training_buffers,
     preprocess_data_jnp,
-    slice_gp_inputs,
     train_gp_models,
-    NUM_GPS,
 )
 from gpmpc_tpu.envs import drone
 from gpmpc_tpu.models.symbolic import SymbolicModel
@@ -79,6 +77,11 @@ def seed_sweep(
     communication (seeds are independent by construction, so XLA inserts no
     collectives on the hot path), and `n_seeds` must divide by the mesh size.
     """
+    if samples_per_epoch > n_steps:
+        raise ValueError(
+            f"samples_per_epoch={samples_per_epoch} > n_steps={n_steps}: an "
+            "episode yields n_steps transitions to sample without replacement"
+        )
     cap = n_epochs * samples_per_epoch
     max_inducing = min(max_inducing, cap)  # can't induce more points than exist
     acc_a, acc_b = float(prior_params["a"]), float(prior_params["b"])
@@ -125,16 +128,11 @@ def seed_sweep(
 
         # 3. Refit every seed's 3-GP ensemble on its accumulated dataset.
         n_active = (epoch_idx + 1) * samples_per_epoch
-        mask = (jnp.arange(cap) < n_active).astype(bufx.dtype)  # (cap,)
 
         def refit(bx, by, key):
-            data = GPData(
-                x=slice_gp_inputs(bx),
-                y=by.T,
-                mask=jnp.tile(mask[None], (NUM_GPS, 1)),
-            )
             return train_gp_models(
-                data, key, sparse=sparse, max_inducing=max_inducing,
+                pack_training_buffers(bx, by, n_active), key,
+                sparse=sparse, max_inducing=max_inducing,
                 n_train=gp_iters, lr=gp_lr,
             )
 

@@ -10,10 +10,16 @@ in between dispatches with zero recompiles and zero downtime.
 Usage (see tests/test_server.py::test_online_learning_loop):
 
     server = ControlServer(..., record_capacity=4096)
-    learner = OnlineLearner(model, prior_params, capacity=4096, max_inducing=40)
+    learner = OnlineLearner(model, prior_params, capacity=max_gp_points,
+                            max_inducing=max_gp_samples)
     ...
     learner.ingest(*server.drain_transitions())   # periodically, any thread
     server.update_gp(learner.refit())
+
+Shape contract: `capacity` must equal the serving GpModel's padded dataset
+capacity (the controller's `max_gp_points`) and `max_inducing` its inducing
+count (`max_gp_samples`) — otherwise the swapped pytree would change traced
+shapes and recompile the dispatch; `ControlServer.update_gp` rejects that.
 """
 
 from __future__ import annotations
@@ -25,11 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpmpc_tpu.control.gpmpc import (
-    GPData,
     GpModel,
-    NUM_GPS,
+    pack_training_buffers,
     preprocess_data_jnp,
-    slice_gp_inputs,
     train_gp_models,
 )
 from gpmpc_tpu.models.symbolic import SymbolicModel
@@ -70,13 +74,8 @@ class OnlineLearner:
         )
 
         def refit(bufx, bufy, count, key):
-            mask = (jnp.arange(capacity) < count).astype(bufx.dtype)
-            data = GPData(
-                x=slice_gp_inputs(bufx), y=bufy.T,
-                mask=jnp.tile(mask[None], (NUM_GPS, 1)),
-            )
             return train_gp_models(
-                data, key, sparse=sparse,
+                pack_training_buffers(bufx, bufy, count), key, sparse=sparse,
                 max_inducing=min(max_inducing, capacity),
                 n_train=n_train, lr=lr,
             )
@@ -102,11 +101,18 @@ class OnlineLearner:
             up = np.pad(u[lo:hi].astype(np.float32), ((0, pad), (0, 0)))
             np_ = np.pad(x_next[lo:hi].astype(np.float32), ((0, pad), (0, 0)))
             xi, ti = jax.device_get(self._preprocess(xp, up, np_))
-            for row in range(m):
-                w = self._write
-                self._x[w], self._y[w] = xi[row], ti[row]
-                self._write = (w + 1) % self._capacity
-            self._count = min(self._count + m, self._capacity)
+            # Vectorized ring write: head segment + wraparound segment.
+            w, cap = self._write, self._capacity
+            if m >= cap:  # chunk alone overwrites the whole ring
+                self._x[:], self._y[:] = xi[m - cap:m], ti[m - cap:m]
+                self._write, self._count = 0, cap
+                continue
+            head = min(m, cap - w)
+            self._x[w:w + head], self._y[w:w + head] = xi[:head], ti[:head]
+            if m > head:
+                self._x[:m - head], self._y[:m - head] = xi[head:m], ti[head:m]
+            self._write = (w + m) % cap
+            self._count = min(self._count + m, cap)
         return n
 
     def refit(self) -> GpModel:

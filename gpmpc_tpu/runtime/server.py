@@ -104,7 +104,7 @@ class ControlServer:
         self._obs = jnp.tile(
             jnp.asarray(consts.mpc.traj[0], jnp.float32)[None], (tile, 1)
         )
-        self._nx = nx
+        self._nx, self._nu = nx, nu
 
         step_fn = partial(batched_gpmpc_step, model, cfg, backend=backend)
 
@@ -154,6 +154,7 @@ class ControlServer:
         self._transitions: deque = deque(maxlen=record_capacity or None)
         self._record = record_capacity > 0
         self._pending_rec: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._closed = False
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
 
@@ -187,25 +188,45 @@ class ControlServer:
             items = list(self._transitions)
             self._transitions.clear()
         if not items:
-            nx = self._nx
-            return (np.zeros((0, nx), np.float32), np.zeros((0, 4), np.float32),
+            nx, nu = self._nx, self._nu
+            return (np.zeros((0, nx), np.float32), np.zeros((0, nu), np.float32),
                     np.zeros((0, nx), np.float32))
         x, u, x_next = (np.stack(c) for c in zip(*items))
         return x, u, x_next
 
     def update_gp(self, gp: GpModel) -> None:
-        """Hot-swap the GP model (same pytree structure -> zero recompiles)."""
+        """Hot-swap the GP model.
+
+        Zero recompiles REQUIRES the new model's padded buffer shapes to match
+        the serving model's (capacity == max_gp_points, inducing == Ms) — a
+        shape change would silently retrace the whole dispatch program under
+        the lock, stalling every session for the compile. Enforced here.
+        """
+        new_leaves, new_tree = jax.tree.flatten(gp)
+        old_leaves, old_tree = jax.tree.flatten(self._gp)
+        mismatch = new_tree != old_tree or [
+            jnp.shape(leaf) for leaf in new_leaves
+        ] != [jnp.shape(leaf) for leaf in old_leaves]
+        if mismatch:
+            raise ValueError(
+                "GP hot-swap would change traced shapes (recompile + serving "
+                "stall); refit with buffers sized to the serving model "
+                "(capacity == max_gp_points, inducing == max_gp_samples)"
+            )
         with self._lock:
             self._gp = gp
 
     @property
     def stats(self) -> ServerStats:
-        return ServerStats(self._n_requests, self._n_batches)
+        with self._stats_lock:  # consistent snapshot vs concurrent _deliver
+            return ServerStats(self._n_requests, self._n_batches)
 
     # -- serving -----------------------------------------------------------
 
     def step(self, slot: int, obs) -> np.ndarray:
         """Request one action for session `slot` at observation `obs` (blocking)."""
+        if self._closed:
+            raise RuntimeError("server is closed")
         obs = np.asarray(obs, np.float32)
         if obs.shape != (self._nx,):  # fail in the caller, not the dispatcher
             raise ValueError(f"obs shape {obs.shape} != ({self._nx},)")
@@ -217,6 +238,7 @@ class ControlServer:
         return req.out["action"]
 
     def close(self) -> None:
+        self._closed = True  # reject new step() calls before the sentinel lands
         self._queue.put(_SHUTDOWN)
         self._dispatcher.join()
 
@@ -232,6 +254,7 @@ class ControlServer:
         if first is _SHUTDOWN:
             return None
         batch = [first]
+        seen = {first.slot}
         t_end = time.monotonic() + self._max_wait_s
         while len(batch) < self._tile:
             remaining = t_end - time.monotonic()
@@ -244,6 +267,14 @@ class ControlServer:
             if req is _SHUTDOWN:
                 self._queue.put(_SHUTDOWN)  # re-post for the outer loop
                 break
+            if req.slot in seen:
+                # Duplicate-index device scatters have an unspecified winner,
+                # so one batch never carries two requests for one slot: the
+                # second goes to the next dispatch (its x_{k+1} depends on the
+                # first's action anyway).
+                self._queue.put(req)
+                break
+            seen.add(req.slot)
             batch.append(req)
         return batch
 
@@ -254,8 +285,7 @@ class ControlServer:
         device back-to-back — the device never waits for the host-side result
         fetch of an earlier batch.
         """
-        # Last write wins if a client double-submits one slot in a batch
-        # (contract: one in-flight request per session).
+        # _collect guarantees slot-uniqueness within a batch.
         n = len(batch)
         slots = np.full(self._tile, self._tile, np.int32)  # pad = dropped
         slots[:n] = [r.slot for r in batch]
@@ -324,6 +354,15 @@ class ControlServer:
             if not inflight:
                 if stop:
                     self._fetch_pool.shutdown(wait=True)
-                    return
+                    # Fail any requests that raced past the closed-flag check —
+                    # a silent drop would block their step() callers forever.
+                    while True:
+                        try:
+                            req = self._queue.get_nowait()
+                        except queue.Empty:
+                            return
+                        if req is not _SHUTDOWN:
+                            req.out["error"] = RuntimeError("server is closed")
+                            req.done.set()
                 continue
             inflight.popleft().result()

@@ -206,7 +206,10 @@ def test_online_learning_loop():
         assert x.shape[0] == 2 * (n_steps - 1), x.shape
         assert u_arr.shape == (x.shape[0], 4) and x_next.shape == x.shape
 
-        learner = OnlineLearner(model, PRIOR, capacity=64, max_inducing=8,
+        # Shape contract: capacity == the serving controller's max_gp_points
+        # (32 in make_ctrl), max_inducing == its max_gp_samples (8) — else
+        # update_gp rejects the swap (recompile guard, tested below).
+        learner = OnlineLearner(model, PRIOR, capacity=32, max_inducing=8,
                                 n_train=10, lr=0.05)
         assert learner.ingest(x, u_arr, x_next) == x.shape[0]
         gp_new = learner.refit()
@@ -220,3 +223,37 @@ def test_online_learning_loop():
         assert x2.shape[0] <= 2
     finally:
         server.close()
+
+
+def test_gp_hotswap_shape_mismatch_rejected():
+    from gpmpc_tpu.runtime.online import OnlineLearner
+
+    _, model, ctrl, server = make_server()
+    try:
+        learner = OnlineLearner(model, PRIOR, capacity=64, max_inducing=8, n_train=2)
+        rng = np.random.default_rng(0)
+        learner.ingest(
+            rng.normal(0, 0.1, (6, 12)), rng.normal(0, 0.1, (6, 4)),
+            rng.normal(0, 0.1, (6, 12)),
+        )
+        gp_wrong = learner.refit()  # capacity 64 != serving max_gp_points 32
+        try:
+            server.update_gp(gp_wrong)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised  # silent recompile under the serving lock is forbidden
+    finally:
+        server.close()
+
+
+def test_step_after_close_raises_not_hangs():
+    _, model, ctrl, server = make_server()
+    sid = server.open_session()
+    server.close()
+    try:
+        server.step(sid, np.zeros(12, np.float32))
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
