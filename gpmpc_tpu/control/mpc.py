@@ -72,6 +72,14 @@ class MpcInfo(NamedTuple):
     soft_viol: jax.Array = jnp.asarray(0.0, jnp.float32)
 
 
+def default_u_eq(nu: int, dtype=jnp.float32) -> jax.Array:
+    """Model-family input reference: the quadrotor hover trim for nu=4 (the
+    reference's U_EQ contract), zero input for any other model family."""
+    if nu == quadrotor.NU:
+        return quadrotor.U_EQ.astype(dtype)
+    return jnp.zeros((nu,), dtype)
+
+
 def make_consts(
     model: SymbolicModel,
     traj: jax.Array,
@@ -79,30 +87,44 @@ def make_consts(
     r_mpc,
     horizon: int,
     dtype=jnp.float32,
+    bounds: tuple | None = None,
+    u_eq: jax.Array | None = None,
 ) -> MpcConsts:
+    """Build the traced constants. Defaults keep the reference's quadrotor
+    contract (hover-trim U_EQ, quadrotor boxes); other model families pass
+    `bounds=((lx, ux), (lu, uu))` and (optionally) their own `u_eq`."""
     assert len(q_mpc) == model.nx and len(r_mpc) == model.nu
-    lx, ux = quadrotor.state_bounds()
-    lu, uu = quadrotor.input_bounds()
+    if bounds is None:
+        (lx, ux), (lu, uu) = (quadrotor.state_bounds(), quadrotor.input_bounds())
+    else:
+        (lx, ux), (lu, uu) = bounds
+    if u_eq is None:
+        u_eq = default_u_eq(model.nu, dtype)
     scale = np.full(horizon + 1, model.dt)
     scale[-1] = 1.0  # terminal stage unscaled (acados cost_scaling default)
     return MpcConsts(
         traj=jnp.asarray(traj, dtype),
         Q=jnp.diag(jnp.asarray(q_mpc, dtype)),
         R=jnp.diag(jnp.asarray(r_mpc, dtype)),
-        uref=jnp.tile(quadrotor.U_EQ.astype(dtype)[None], (horizon, 1)),
+        uref=jnp.tile(jnp.asarray(u_eq, dtype)[None], (horizon, 1)),
         scale=jnp.asarray(scale, dtype),
-        lx=lx.astype(dtype),
-        ux=ux.astype(dtype),
-        lu=lu.astype(dtype),
-        uu=uu.astype(dtype),
+        lx=jnp.asarray(lx, dtype),
+        ux=jnp.asarray(ux, dtype),
+        lu=jnp.asarray(lu, dtype),
+        uu=jnp.asarray(uu, dtype),
     )
 
 
-def init_state(horizon: int, nx: int = 12, nu: int = 4, dtype=jnp.float32) -> MpcState:
+def init_state(
+    horizon: int, nx: int = 12, nu: int = 4, dtype=jnp.float32,
+    u_eq: jax.Array | None = None,
+) -> MpcState:
+    if u_eq is None:
+        u_eq = default_u_eq(nu, dtype)
     return MpcState(
         traj_step=jnp.asarray(0, jnp.int32),
         X_warm=jnp.zeros((horizon + 1, nx), dtype),
-        U_warm=jnp.tile(quadrotor.U_EQ.astype(dtype)[None], (horizon, 1)),
+        U_warm=jnp.tile(jnp.asarray(u_eq, dtype)[None], (horizon, 1)),
     )
 
 
