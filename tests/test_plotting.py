@@ -43,3 +43,18 @@ def test_get_runtime_drops_first_sample():
     expect = np.asarray(runs[0]["inference_time_data"][1:])
     np.testing.assert_allclose(out["mean"][0], expect.mean())
     np.testing.assert_allclose(out["max"][0], expect.max())
+
+
+def test_plot_learning_curve_band_artifacts(tmp_path):
+    import numpy as np
+
+    from gpmpc_tpu.utils.plotting import plot_learning_curve_band
+
+    costs = np.array([[3.0, 3.2, 2.9], [1.0, 1.1, 0.9], [0.5, 0.6, 0.4]])
+    plot_learning_curve_band(costs, [0, 15, 30], "learning_curve_seeds", tmp_path)
+    assert (tmp_path / "learning_curve_seeds.png").exists()
+    csv = (tmp_path / "learning_curve_seeds.csv").read_text().splitlines()
+    assert csv[0].lstrip("# ").strip() == "train_steps,mean,std,min,max"
+    row1 = [float(v) for v in csv[2].split(",")]  # epoch-1 row
+    assert row1[0] == 15.0 and abs(row1[1] - 1.0) < 1e-6
+    assert row1[3] == 0.9 and row1[4] == 1.1
