@@ -39,3 +39,17 @@ def test_eval_seeds_smoke(tmp_path):
     stem = Path(line.split(" ", 1)[1].rsplit(".png", 1)[0].replace("/learning_curve_seeds", "") )
     assert (stem / "learning_curve_seeds.png").exists()
     assert (stem / "learning_curve_seeds.csv").exists()
+
+
+def test_serve_bench_smoke():
+    r = run([
+        "scripts/serve_bench.py", "--clients", "3", "--steps", "6",
+        "--tile", "4", "--backend", "xla", "--max-wait-ms", "10",
+    ], timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if '"metric"' in l][0]
+    import json
+
+    out = json.loads(line)
+    assert out["metric"] == "served_actions_per_sec" and out["value"] > 0
+    assert out["mean_batch_size"] >= 1.0
