@@ -73,8 +73,12 @@ class MpcInfo(NamedTuple):
 
 
 def default_u_eq(nu: int, dtype=jnp.float32) -> jax.Array:
-    """Model-family input reference: the quadrotor hover trim for nu=4 (the
-    reference's U_EQ contract), zero input for any other model family."""
+    """Fallback initial warm-start input when no model is in scope: quadrotor
+    hover trim for nu=4 (bit-compat with the reference contract), zeros
+    otherwise. NOTE: only feeds `init_state`'s U_warm, which every solve path
+    overwrites before first use (select_action: first step takes consts.uref);
+    the cost-relevant input reference comes from the MODEL's own `u_eq`
+    (make_consts), never from this dimension heuristic."""
     if nu == quadrotor.NU:
         return quadrotor.U_EQ.astype(dtype)
     return jnp.zeros((nu,), dtype)
@@ -98,8 +102,8 @@ def make_consts(
         (lx, ux), (lu, uu) = (quadrotor.state_bounds(), quadrotor.input_bounds())
     else:
         (lx, ux), (lu, uu) = bounds
-    if u_eq is None:
-        u_eq = default_u_eq(model.nu, dtype)
+    if u_eq is None:  # the model family's own trim; zero input if it has none
+        u_eq = model.u_eq if model.u_eq is not None else jnp.zeros((model.nu,), dtype)
     scale = np.full(horizon + 1, model.dt)
     scale[-1] = 1.0  # terminal stage unscaled (acados cost_scaling default)
     return MpcConsts(

@@ -38,6 +38,11 @@ class SymbolicModel:
     dt: float
     params: QuadrotorParams
     fc_func: Callable[[jax.Array, jax.Array], jax.Array] = field(repr=False)
+    # Input-space equilibrium/trim (the quadrotor's hover U_EQ); None = zero
+    # input. Consumed by control/mpc.py::make_consts as the default input
+    # reference, so each model family carries its own trim instead of the
+    # controller guessing from dimensions.
+    u_eq: jax.Array | None = field(default=None, repr=False)
 
     def fd_func(self, x: jax.Array, u: jax.Array) -> jax.Array:
         return quadrotor.rk4(self.fc_func, x, u, self.dt)
@@ -67,4 +72,7 @@ def symbolic_attitude(dt: float = 0.02, params: dict | QuadrotorParams | None = 
     else:
         p = QuadrotorParams.from_dict(dict(params))
     fc = partial(quadrotor.continuous_dynamics, params=p)
-    return SymbolicModel(nx=quadrotor.NX, nu=quadrotor.NU, dt=float(dt), params=p, fc_func=fc)
+    return SymbolicModel(
+        nx=quadrotor.NX, nu=quadrotor.NU, dt=float(dt), params=p, fc_func=fc,
+        u_eq=quadrotor.U_EQ,
+    )

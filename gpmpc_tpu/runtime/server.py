@@ -155,6 +155,7 @@ class ControlServer:
         self._record = record_capacity > 0
         self._pending_rec: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._closed = False
+        self._close_lock = threading.Lock()
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
 
@@ -204,10 +205,8 @@ class ControlServer:
         """
         new_leaves, new_tree = jax.tree.flatten(gp)
         old_leaves, old_tree = jax.tree.flatten(self._gp)
-        mismatch = new_tree != old_tree or [
-            jnp.shape(leaf) for leaf in new_leaves
-        ] != [jnp.shape(leaf) for leaf in old_leaves]
-        if mismatch:
+        sig = lambda ls: [(jnp.shape(x), jnp.result_type(x)) for x in ls]  # noqa: E731
+        if new_tree != old_tree or sig(new_leaves) != sig(old_leaves):
             raise ValueError(
                 "GP hot-swap would change traced shapes (recompile + serving "
                 "stall); refit with buffers sized to the serving model "
@@ -225,21 +224,28 @@ class ControlServer:
 
     def step(self, slot: int, obs) -> np.ndarray:
         """Request one action for session `slot` at observation `obs` (blocking)."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         obs = np.asarray(obs, np.float32)
         if obs.shape != (self._nx,):  # fail in the caller, not the dispatcher
             raise ValueError(f"obs shape {obs.shape} != ({self._nx},)")
         req = _Request(slot, obs, threading.Event(), {})
-        self._queue.put(req)
+        # The closed-check and the enqueue are one atomic step vs close():
+        # either this request precedes the shutdown sentinel in the queue (and
+        # is served/failed by the dispatcher) or close() won and we raise —
+        # an unsynchronized check could enqueue after the dispatcher exited,
+        # blocking this caller forever.
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(req)
         req.done.wait()
         if "error" in req.out:
             raise req.out["error"]
         return req.out["action"]
 
     def close(self) -> None:
-        self._closed = True  # reject new step() calls before the sentinel lands
-        self._queue.put(_SHUTDOWN)
+        with self._close_lock:  # atomic vs step()'s check-then-enqueue
+            self._closed = True
+            self._queue.put(_SHUTDOWN)
         self._dispatcher.join()
 
     # -- dispatcher thread ---------------------------------------------------
