@@ -120,7 +120,13 @@ class ControlServer:
             the remote-TPU tunnel, measured 3.2 s/dispatch vs ~5 ms jitted).
             """
             obs_buf = obs_buf.at[slots].set(obs_new, mode="drop")
-            u, new_states, _info = step_fn(consts_, gp_, states, obs_buf)
+            u, new_states, info = step_fn(consts_, gp_, states, obs_buf)
+            # Per-session solver health, rides the same result fetch: QP
+            # complementarity gap, SQP iterations, soft-bound violation (the
+            # reference exposes the analogous acados diagnostics per solve).
+            diag = jnp.stack(
+                [info.qp_gap, info.n_iters.astype(u.dtype), info.soft_viol], axis=-1
+            )
             safe = jnp.clip(slots, 0, tile - 1)
             # Commit warm-start state ONLY for stepped slots: idle slots'
             # recomputed states are discarded so their session clocks
@@ -132,7 +138,7 @@ class ControlServer:
                 states,
                 new_states,
             )
-            return u, states, obs_buf
+            return u, diag, states, obs_buf
 
         self._dispatch = jax.jit(dispatch)
 
@@ -224,6 +230,13 @@ class ControlServer:
 
     def step(self, slot: int, obs) -> np.ndarray:
         """Request one action for session `slot` at observation `obs` (blocking)."""
+        return self.step_with_diag(slot, obs)[0]
+
+    def step_with_diag(self, slot: int, obs) -> tuple[np.ndarray, dict]:
+        """Like `step`, also returning per-solve solver health: qp_gap (final
+        complementarity gap), n_iters (SQP iterations), soft_viol (largest
+        state-box violation — the graceful-degradation telemetry). Costs
+        nothing extra: the diagnostics ride the same device fetch."""
         obs = np.asarray(obs, np.float32)
         if obs.shape != (self._nx,):  # fail in the caller, not the dispatcher
             raise ValueError(f"obs shape {obs.shape} != ({self._nx},)")
@@ -240,7 +253,7 @@ class ControlServer:
         req.done.wait()
         if "error" in req.out:
             raise req.out["error"]
-        return req.out["action"]
+        return req.out["action"], req.out["diag"]
 
     def close(self) -> None:
         with self._close_lock:  # atomic vs step()'s check-then-enqueue
@@ -298,13 +311,13 @@ class ControlServer:
         obs_new = np.zeros((self._tile, self._nx), np.float32)
         obs_new[:n] = [r.obs for r in batch]
         with self._lock:
-            u, self._states, self._obs = self._dispatch(
+            u, diag, self._states, self._obs = self._dispatch(
                 self._consts, self._gp, self._states, self._obs,
                 jnp.asarray(slots), jnp.asarray(obs_new),
             )
-        return batch, slots[:n], u
+        return batch, slots[:n], u, diag
 
-    def _deliver(self, batch: list[_Request], slots: np.ndarray, u) -> None:
+    def _deliver(self, batch: list[_Request], slots: np.ndarray, u, diag) -> None:
         """Fetch a dispatched batch's actions and wake its waiters.
 
         Runs on the fetch pool: device->host fetch latency dominates per-batch
@@ -313,7 +326,8 @@ class ControlServer:
         overlap their round-trips instead of serializing behind one another.
         """
         try:
-            actions = jax.device_get(u)[slots]
+            actions_full, diag_full = jax.device_get((u, diag))
+            actions, diags = actions_full[slots], diag_full[slots]
             with self._stats_lock:
                 self._n_requests += len(batch)
                 self._n_batches += 1
@@ -327,8 +341,12 @@ class ControlServer:
                         if prev is not None:
                             self._transitions.append((prev[0], prev[1], req.obs))
                         self._pending_rec[req.slot] = (req.obs, np.asarray(a))
-            for req, a in zip(batch, actions):
+            for req, a, d in zip(batch, actions, diags):
                 req.out["action"] = a
+                req.out["diag"] = {
+                    "qp_gap": float(d[0]), "n_iters": int(d[1]),
+                    "soft_viol": float(d[2]),
+                }
                 req.done.set()
         except Exception as e:  # surface device errors to every waiter
             for req in batch:

@@ -257,3 +257,18 @@ def test_step_after_close_raises_not_hangs():
     except RuntimeError:
         raised = True
     assert raised
+
+
+def test_step_with_diag_reports_solver_health():
+    env, model, ctrl, server = make_server()
+    try:
+        sid = server.open_session()
+        obs, _ = env.reset(seed=2)
+        u, diag = server.step_with_diag(sid, obs)
+        assert np.all(np.isfinite(u))
+        assert set(diag) == {"qp_gap", "n_iters", "soft_viol"}
+        assert diag["qp_gap"] >= 0.0 and np.isfinite(diag["qp_gap"])
+        assert diag["n_iters"] >= 1
+        assert diag["soft_viol"] >= 0.0
+    finally:
+        server.close()
