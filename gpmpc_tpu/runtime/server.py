@@ -68,6 +68,10 @@ class _Request(NamedTuple):
 
 _SHUTDOWN = None  # queue sentinel
 
+# Per-solve diagnostics, in the exact order the dispatch program stacks them —
+# the single definition both the stack and the result dict are built from.
+DIAG_FIELDS = ("qp_gap", "n_iters", "soft_viol")
+
 
 class ControlServer:
     """Serve GP-MPC actions to concurrent control sessions with micro-batching.
@@ -121,11 +125,11 @@ class ControlServer:
             """
             obs_buf = obs_buf.at[slots].set(obs_new, mode="drop")
             u, new_states, info = step_fn(consts_, gp_, states, obs_buf)
-            # Per-session solver health, rides the same result fetch: QP
-            # complementarity gap, SQP iterations, soft-bound violation (the
+            # Per-session solver health, rides the same result fetch (the
             # reference exposes the analogous acados diagnostics per solve).
+            # Stacked in DIAG_FIELDS order.
             diag = jnp.stack(
-                [info.qp_gap, info.n_iters.astype(u.dtype), info.soft_viol], axis=-1
+                [getattr(info, f).astype(u.dtype) for f in DIAG_FIELDS], axis=-1
             )
             safe = jnp.clip(slots, 0, tile - 1)
             # Commit warm-start state ONLY for stepped slots: idle slots'
@@ -344,8 +348,8 @@ class ControlServer:
             for req, a, d in zip(batch, actions, diags):
                 req.out["action"] = a
                 req.out["diag"] = {
-                    "qp_gap": float(d[0]), "n_iters": int(d[1]),
-                    "soft_viol": float(d[2]),
+                    name: (int(v) if name == "n_iters" else float(v))
+                    for name, v in zip(DIAG_FIELDS, d)
                 }
                 req.done.set()
         except Exception as e:  # surface device errors to every waiter
