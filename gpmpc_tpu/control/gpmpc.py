@@ -55,23 +55,38 @@ from gpmpc_tpu.gp.kernels import se_kernel
 from gpmpc_tpu.gp.sparse import fitc_posterior, select_inducing
 from gpmpc_tpu.models import quadrotor
 from gpmpc_tpu.models.quadrotor import GRAVITY, QuadrotorParams
+from gpmpc_tpu.models.residual import QUADROTOR_SPEC, ResidualSpec
 from gpmpc_tpu.models.symbolic import SymbolicModel
 from gpmpc_tpu.ops import discretize_linear_system, lqr_gain_discrete
 from gpmpc_tpu.ops.sqp import OcpBounds, SqpConfig, sqp_solve
 
-# Uncertainty enters rows [dx, dy, dz, dphi, dtheta] (gpmpc.py:68-69).
-UNCERTAIN_DIM = (1, 3, 5, 9, 10)
-# GP input layout: [thrust | phi, dphi, phi_cmd | theta, dtheta, theta_cmd]
+# The residual structure is per-model data (models/residual.py::ResidualSpec);
+# every function below takes a `spec` (defaulting to the quadrotor's, the
+# reference's hardwired structure) or derives it from the model in scope.
+# Quadrotor aliases kept as the reference-shaped public surface:
+# uncertainty rows [dx, dy, dz, dphi, dtheta] (gpmpc.py:68-69) and the GP
+# input layout [thrust | phi, dphi, phi_cmd | theta, dtheta, theta_cmd]
 # (preprocess_data concat order, gpmpc.py:149; gp_idx at gpmpc.py:59).
-GP_IDX = ((0,), (1, 2, 3), (4, 5, 6))
-GP_INPUT_DIM = 3  # padded per-GP slice dimension
-NUM_GPS = 3
+UNCERTAIN_DIM = QUADROTOR_SPEC.uncertain_dim
+GP_IDX = QUADROTOR_SPEC.gp_idx
+GP_INPUT_DIM = QUADROTOR_SPEC.gp_input_dim  # padded per-GP slice dimension
+NUM_GPS = QUADROTOR_SPEC.num_gps
+
+
+def model_spec(model: SymbolicModel) -> ResidualSpec:
+    """The model's residual-GP structure; quadrotor models built before the
+    spec existed (residual_spec=None) keep their old hardwired behavior."""
+    return model.residual_spec if model.residual_spec is not None else QUADROTOR_SPEC
 
 
 class GpModel(NamedTuple):
-    """Padded GP ensemble state — a pure-data controller argument."""
+    """Padded GP ensemble state — a pure-data controller argument.
 
-    # Full training set, per GP slice space. Leading axis: the 3 GPs.
+    Shapes below are written for the quadrotor's (G=3 GPs, D=3-wide input
+    slices); every consumer derives (G, D) from the leaves, so other model
+    families' ensembles ride the same pytree."""
+
+    # Full training set, per GP slice space. Leading axis: the G GPs.
     Z: jax.Array  # (3, M, 3)
     y: jax.Array  # (3, M)
     mask: jax.Array  # (3, M)
@@ -103,71 +118,76 @@ class GpMpcConsts(NamedTuple):
 
 
 def empty_gp_model(
-    max_points: int, max_inducing: int, dtype=jnp.float32, ard: bool = False
+    max_points: int,
+    max_inducing: int,
+    dtype=jnp.float32,
+    ard: bool = False,
+    spec: ResidualSpec = QUADROTOR_SPEC,
 ) -> GpModel:
     """`max_inducing` sizes both the mean inducing set and the variance form
     (callers pass max_inducing == max_points for the exact/dense mode)."""
     M, Ms = max_points, max_inducing
-    zeros3 = jnp.zeros((NUM_GPS,), dtype)
+    G, D = spec.num_gps, spec.gp_input_dim
+    zeros_g = jnp.zeros((G,), dtype)
     # The lengthscale leaf shape must match what train_gp_models will produce —
     # otherwise the first retrain changes the pytree structure and recompiles the
     # jitted controller step, breaking the no-recompile invariant.
-    ell0 = jnp.zeros((NUM_GPS, GP_INPUT_DIM), dtype) if ard else zeros3
+    ell0 = jnp.zeros((G, D), dtype) if ard else zeros_g
     return GpModel(
-        Z=jnp.zeros((NUM_GPS, M, GP_INPUT_DIM), dtype),
-        y=jnp.zeros((NUM_GPS, M), dtype),
-        mask=jnp.zeros((NUM_GPS, M), dtype),
-        hypers=GPHypers(ell0, zeros3, zeros3),
-        Zs=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
-        alpha_s=jnp.zeros((NUM_GPS, Ms), dtype),
-        var_Z=jnp.zeros((NUM_GPS, Ms, GP_INPUT_DIM), dtype),
-        var_mat=jnp.zeros((NUM_GPS, Ms, Ms), dtype),
-        var_mask=jnp.zeros((NUM_GPS, Ms), dtype),
+        Z=jnp.zeros((G, M, D), dtype),
+        y=jnp.zeros((G, M), dtype),
+        mask=jnp.zeros((G, M), dtype),
+        hypers=GPHypers(ell0, zeros_g, zeros_g),
+        Zs=jnp.zeros((G, Ms, D), dtype),
+        alpha_s=jnp.zeros((G, Ms), dtype),
+        var_Z=jnp.zeros((G, Ms, D), dtype),
+        var_mat=jnp.zeros((G, Ms, Ms), dtype),
+        var_mask=jnp.zeros((G, Ms), dtype),
         trained=jnp.asarray(False),
     )
 
 
-def slice_gp_inputs(x7: jax.Array) -> jax.Array:
-    """(..., 7) GP input rows -> (3, ..., 3) padded per-GP slices."""
+def slice_gp_inputs(
+    xz: jax.Array, spec: ResidualSpec = QUADROTOR_SPEC
+) -> jax.Array:
+    """(..., z_dim) GP input rows -> (G, ..., gp_input_dim) padded per-GP slices."""
     pads = []
-    for idx in GP_IDX:
-        cols = [x7[..., i] for i in idx]
-        while len(cols) < GP_INPUT_DIM:
-            cols.append(jnp.zeros_like(x7[..., 0]))
+    for idx in spec.gp_idx:
+        cols = [xz[..., i] for i in idx]
+        while len(cols) < spec.gp_input_dim:
+            cols.append(jnp.zeros_like(xz[..., 0]))
         pads.append(jnp.stack(cols, axis=-1))
     return jnp.stack(pads, axis=0)
 
 
 def gp_input_from_xu(x: jax.Array, u: jax.Array) -> jax.Array:
-    """(x, u) -> the 7-dim GP input [T, phi, dphi, phi_cmd, theta, dtheta, theta_cmd].
-
-    ≙ the z-index selection idx_T/idx_R/idx_P at gpmpc.py:173.
-    """
-    return jnp.stack(
-        [
-            u[..., 0],
-            x[..., quadrotor.IDX_PHI], x[..., quadrotor.IDX_DPHI], u[..., 1],
-            x[..., quadrotor.IDX_THETA], x[..., quadrotor.IDX_DTHETA], u[..., 2],
-        ],
-        axis=-1,
-    )
+    """(x, u) -> the quadrotor's 7-dim GP input [T, phi, dphi, phi_cmd, theta,
+    dtheta, theta_cmd] (≙ the z-index selection idx_T/idx_R/idx_P at
+    gpmpc.py:173). Alias of QUADROTOR_SPEC.gp_input; other families use
+    `model_spec(model).gp_input`."""
+    return QUADROTOR_SPEC.gp_input(x, u)
 
 
-def pack_training_data(x7: jax.Array, y3: jax.Array, max_points: int) -> GPData:
-    """(N, 7) inputs / (N, 3) targets -> padded per-GP GPData batch (leaves lead
-    with the GP axis). N may be traced-dynamic via a validity mask upstream; here
-    N is the static array length and all rows are marked active."""
-    n = x7.shape[0]
-    z = slice_gp_inputs(x7)  # (3, N, 3)
+def pack_training_data(
+    xz: jax.Array, yg: jax.Array, max_points: int, spec: ResidualSpec = QUADROTOR_SPEC
+) -> GPData:
+    """(N, z_dim) inputs / (N, G) targets -> padded per-GP GPData batch (leaves
+    lead with the GP axis). N may be traced-dynamic via a validity mask upstream;
+    here N is the static array length and all rows are marked active."""
+    n = xz.shape[0]
+    z = slice_gp_inputs(xz, spec)  # (G, N, D)
     pad = max_points - n
     Z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)))
-    Y = jnp.pad(y3.T, ((0, 0), (0, pad)))
-    mask = jnp.pad(jnp.ones((NUM_GPS, n), x7.dtype), ((0, 0), (0, pad)))
+    Y = jnp.pad(yg.T, ((0, 0), (0, pad)))
+    mask = jnp.pad(jnp.ones((spec.num_gps, n), xz.dtype), ((0, 0), (0, pad)))
     return GPData(x=Z, y=Y, mask=mask)
 
 
-def pack_training_buffers(bufx: jax.Array, bufy: jax.Array, count) -> GPData:
-    """Padded (cap, 7)/(cap, 3) buffers + traced active-row count -> masked GPData.
+def pack_training_buffers(
+    bufx: jax.Array, bufy: jax.Array, count, spec: ResidualSpec = QUADROTOR_SPEC
+) -> GPData:
+    """Padded (cap, z_dim)/(cap, G) buffers + traced active-row count -> masked
+    GPData.
 
     The traced-count sibling of `pack_training_data`: rows >= `count` stay in
     the buffers but are masked out of the likelihood/posterior, so dataset
@@ -176,7 +196,8 @@ def pack_training_buffers(bufx: jax.Array, bufy: jax.Array, count) -> GPData:
     cap = bufx.shape[0]
     mask = (jnp.arange(cap) < count).astype(bufx.dtype)
     return GPData(
-        x=slice_gp_inputs(bufx), y=bufy.T, mask=jnp.tile(mask[None], (NUM_GPS, 1))
+        x=slice_gp_inputs(bufx, spec), y=bufy.T,
+        mask=jnp.tile(mask[None], (spec.num_gps, 1)),
     )
 
 
@@ -194,9 +215,10 @@ def train_gp_models(
 
     ≙ train_gp (gpmpc.py:153-164) + the solver-rebuild work that the reference
     defers to reset()/setup_acados_* (gpmpc.py:94-111,166-273), which here is just
-    constructing the `GpModel` pytree.
+    constructing the `GpModel` pytree. Model-agnostic: the number of GPs and
+    the per-GP input width both come from `data`'s leaf shapes.
     """
-    h0 = init_hypers(data.x.dtype, GP_INPUT_DIM if ard else None)
+    h0 = init_hypers(data.x.dtype, data.x.shape[-1] if ard else None)
     hypers, _ = jax.vmap(lambda d: fit_gp(d, hypers=h0, n_train=n_train, lr=lr))(data)
     hypers = GPHypers(*hypers)
     post = jax.vmap(posterior)(hypers, data)
@@ -209,7 +231,7 @@ def train_gp_models(
         Zs, alpha_s, W = jax.vmap(
             lambda h, d: fitc_posterior(h, d, idx_s, s_mask)
         )(hypers, data)
-        var_Z, var_mask = Zs, jnp.tile(s_mask[None], (NUM_GPS, 1))
+        var_Z, var_mask = Zs, jnp.tile(s_mask[None], (data.x.shape[0], 1))
     else:
         M = data.x.shape[1]
         eye = jnp.eye(M, dtype=data.x.dtype)
@@ -225,9 +247,14 @@ def train_gp_models(
     )
 
 
-def gp_residual(gp: GpModel, x: jax.Array, u: jax.Array) -> jax.Array:
-    """Residual dynamics term (12,). ≙ res_dyn, gpmpc.py:193-197."""
-    z = slice_gp_inputs(gp_input_from_xu(x, u))  # (3, 3)
+def gp_residual(
+    gp: GpModel, x: jax.Array, u: jax.Array, spec: ResidualSpec = QUADROTOR_SPEC
+) -> jax.Array:
+    """Residual dynamics term (nx,): GP posterior means injected into the
+    model's uncertain rows through the spec's mean map. ≙ res_dyn,
+    gpmpc.py:193-197 (where the map is the world-axis thrust rotation)."""
+    z = spec.gp_input(x, u)  # (z_dim,)
+    zs = slice_gp_inputs(z, spec)  # (G, D)
 
     def mean_one(Zs_i, alpha_i, ell_i, sf2_i, z_i):
         k = se_kernel(z_i[None, :], Zs_i, ell_i, sf2_i)[0]
@@ -235,38 +262,29 @@ def gp_residual(gp: GpModel, x: jax.Array, u: jax.Array) -> jax.Array:
 
     ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
     sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
-    preds = jax.vmap(mean_one)(gp.Zs, gp.alpha_s, ell, sf2, z)
-    T_pred, R_pred, P_pred = preds[0], preds[1], preds[2]
-
-    phi, theta = x[quadrotor.IDX_PHI], x[quadrotor.IDX_THETA]
-    ax = T_pred * jnp.cos(phi) * jnp.sin(theta)
-    ay = T_pred * (-jnp.sin(phi))
-    az = T_pred * jnp.cos(phi) * jnp.cos(theta)
-    res = jnp.zeros_like(x)
-    res = res.at[quadrotor.IDX_DX].set(ax)
-    res = res.at[quadrotor.IDX_DY].set(ay)
-    res = res.at[quadrotor.IDX_DZ].set(az)
-    res = res.at[quadrotor.IDX_DPHI].set(R_pred)
-    res = res.at[quadrotor.IDX_DTHETA].set(P_pred)
-    return res
+    preds = jax.vmap(mean_one)(gp.Zs, gp.alpha_s, ell, sf2, zs)  # (G,)
+    rows = spec.mean_rows(preds, z)  # (n_unc,)
+    return jnp.zeros_like(x).at[jnp.asarray(spec.uncertain_dim)].set(rows)
 
 
 def augmented_fd(model: SymbolicModel, gp: GpModel, x: jax.Array, u: jax.Array) -> jax.Array:
     """RK4 discretization of prior + GP residual (≙ gpmpc.py:199-209)."""
-    f = lambda x_, u_: model.fc_func(x_, u_) + gp_residual(gp, x_, u_)
+    spec = model_spec(model)
+    f = lambda x_, u_: model.fc_func(x_, u_) + gp_residual(gp, x_, u_, spec)
     return quadrotor.rk4(f, x, u, model.dt)
 
 
 def gp_variances(gp: GpModel, z_slices: jax.Array, bf16: bool = False) -> jax.Array:
-    """Predictive variance (3, ...) at per-GP query slices (3, ..., 3) via the
+    """Predictive variance (G, ...) at per-GP query slices (G, ..., D) via the
     var_mat quadratic form (exact K_inv or FITC — see GpModel).
 
     ≙ the LOVE fast-variance call at gpmpc.py:443-445. With `bf16`, the
     O(N·Mv^2) GEMM runs in bfloat16 with f32 accumulation — 4x MXU throughput
     for a variance that only feeds sqrt-scale bound offsets.
     """
+    G, D = z_slices.shape[0], z_slices.shape[-1]
     batch_shape = z_slices.shape[1:-1]
-    z_flat = z_slices.reshape(NUM_GPS, -1, GP_INPUT_DIM)
+    z_flat = z_slices.reshape(G, -1, D)
     ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
     sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
 
@@ -282,7 +300,7 @@ def gp_variances(gp: GpModel, z_slices: jax.Array, bf16: bool = False) -> jax.Ar
         return jnp.maximum(sf2_i - jnp.sum(t * k, axis=-1), 1e-12)
 
     covs = jax.vmap(var_one)(gp.var_Z, gp.var_mask, gp.var_mat, ell, sf2, z_flat)
-    return covs.reshape((NUM_GPS,) + batch_shape)
+    return covs.reshape((G,) + batch_shape)
 
 
 def propagate_constraint_limits(
@@ -290,6 +308,7 @@ def propagate_constraint_limits(
     gp: GpModel,
     x_prev: jax.Array,  # (T+1, nx) previous MPC solution
     u_prev: jax.Array,  # (T, nu)
+    spec: ResidualSpec = QUADROTOR_SPEC,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-stage bound tightenings (t_x: (T+1, nx), t_u: (T, nu)), both >= 0.
 
@@ -298,52 +317,43 @@ def propagate_constraint_limits(
     the tightening magnitude ppf * sqrt(diag(cov)) applies symmetrically to both
     sides, which is how it is returned here.
     """
-    z7 = gp_input_from_xu(x_prev[:-1], u_prev)  # (T, 7)
-    covs_diag = gp_variances(gp, slice_gp_inputs(z7))  # (3, T)
-    return tightening_from_variances(consts, gp, z7, covs_diag)
+    zq = spec.gp_input(x_prev[:-1], u_prev)  # (T, z_dim)
+    covs_diag = gp_variances(gp, slice_gp_inputs(zq, spec))  # (G, T)
+    return tightening_from_variances(consts, gp, zq, covs_diag, spec)
 
 
 def disturbance_diagonals(
     consts: GpMpcConsts,
     gp: GpModel,
-    z7: jax.Array,  # (T, 7) GP inputs along the previous solution
-    covs_diag: jax.Array,  # (3, T) predictive variances (precomputed)
+    zq: jax.Array,  # (T, z_dim) GP inputs along the previous solution
+    covs_diag: jax.Array,  # (G, T) predictive variances (precomputed)
+    spec: ResidualSpec = QUADROTOR_SPEC,
 ) -> jax.Array:
-    """Per-stage diagonals of the 5x5 disturbance covariance (GP variance
-    rotated into world axes + observation noise), (T, 5). ≙ gpmpc.py:452-469.
-    Shared by the XLA scan and the lanes tightening kernel."""
-    phi = z7[:, 1]
-    theta = z7[:, 4]
-    f_ax = (jnp.cos(phi) * jnp.sin(theta)) ** 2
-    f_ay = jnp.sin(phi) ** 2
-    f_az = (jnp.cos(phi) * jnp.cos(theta)) ** 2
-
+    """Per-stage diagonals of the (n_unc x n_unc) disturbance covariance —
+    GP variance mapped onto the uncertain rows through the spec's factor map
+    (the quadrotor's world-axis rotation, ≙ gpmpc.py:452-469) plus the GP
+    observation noise, (T, n_unc). Shared by the XLA scan and the lanes
+    tightening kernel."""
     dt2 = consts.dt**2
-    noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6  # (3,)
-    cov_d = jnp.stack(
-        [covs_diag[0] * f_ax, covs_diag[0] * f_ay, covs_diag[0] * f_az,
-         covs_diag[1], covs_diag[2]],
-        axis=1,
-    )  # (T, 5)
-    cov_n = jnp.stack(
-        [noise[0] * f_ax, noise[0] * f_ay, noise[0] * f_az,
-         jnp.full_like(f_ax, noise[1]), jnp.full_like(f_ax, noise[2])],
-        axis=1,
-    )
+    noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6  # (G,)
+    F = spec.var_factors(zq)  # (T, n_unc, G)
+    cov_d = jnp.einsum("tdg,gt->td", F, covs_diag)  # (T, n_unc)
+    cov_n = F @ noise  # (T, n_unc)
     return (cov_d + cov_n) * dt2
 
 
 def tightening_from_variances(
     consts: GpMpcConsts,
     gp: GpModel,
-    z7: jax.Array,  # (T, 7) GP inputs along the previous solution
-    covs_diag: jax.Array,  # (3, T) predictive variances (precomputed)
+    zq: jax.Array,  # (T, z_dim) GP inputs along the previous solution
+    covs_diag: jax.Array,  # (G, T) predictive variances (precomputed)
+    spec: ResidualSpec = QUADROTOR_SPEC,
 ) -> tuple[jax.Array, jax.Array]:
     """Covariance-propagation scan given precomputed GP variances — split out so
     batched callers can compute the variances with one fused kernel over all
     scenarios (see batched_prepare_step)."""
     nx = consts.Ad.shape[0]
-    cov_dn = disturbance_diagonals(consts, gp, z7, covs_diag)
+    cov_dn = disturbance_diagonals(consts, gp, zq, covs_diag, spec)
 
     K = consts.lqr_gain
     A, B, Bd = consts.Ad, consts.Bd_in, consts.Bd
@@ -363,11 +373,35 @@ def tightening_from_variances(
         )
         return cov_next, (t_x, t_u)
 
-    cov0 = jnp.zeros((nx, nx), z7.dtype)
+    cov0 = jnp.zeros((nx, nx), zq.dtype)
     cov_T, (t_x_path, t_u) = jax.lax.scan(step, cov0, cov_dn)
     t_x_term = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_T), 0.0))
     t_x = jnp.concatenate([t_x_path, t_x_term[None]], axis=0)
     return t_x, t_u
+
+
+def _gp_disturbance_batch(
+    consts: GpMpcConsts,
+    gp: GpModel,
+    zq: jax.Array,  # (B, T, z_dim)
+    covs: jax.Array,  # (G, B, T)
+    spec: ResidualSpec,
+) -> jax.Array:
+    """(B, T, n_unc) disturbance diagonals; vmaps over per-scenario GP leaves
+    when `gp` carries a leading batch axis (gp_batched populations)."""
+    if gp_is_batched(gp, spec):
+        return jax.vmap(
+            lambda g, z_b, cv_b: disturbance_diagonals(consts, g, z_b, cv_b, spec)
+        )(gp, zq, jnp.moveaxis(covs, 1, 0))
+    return jax.vmap(
+        lambda z_b, cv_b: disturbance_diagonals(consts, gp, z_b, cv_b, spec)
+    )(zq, jnp.moveaxis(covs, 1, 0))
+
+
+def gp_is_batched(gp: GpModel, spec: ResidualSpec) -> bool:
+    """True if every GpModel leaf carries a leading scenario/population axis
+    (parallel/batch.py::batched_episode(gp_batched=True))."""
+    return gp.Zs.ndim == 4
 
 
 def preprocess_data_jnp(
@@ -468,25 +502,37 @@ def prepare_step(
 ) -> tuple[jax.Array, OcpBounds, jax.Array, jax.Array, jax.Array]:
     """Per-scenario step preparation: tightened bounds, reference window, warm
     start. (xref, bounds, X_init, U_init, clamp_frac). Vmappable."""
-    t_x, t_u = propagate_constraint_limits(consts, gp, state.X_warm, state.U_warm)
+    spec = model_spec(model)
+    t_x, t_u = propagate_constraint_limits(
+        consts, gp, state.X_warm, state.U_warm, spec
+    )
     return _bounds_from_tightening(consts, gp, state, obs, t_x, t_u, soft=soft)
 
 
 def batched_variances(
     gp: GpModel,
-    z_slices: jax.Array,  # (3, B, T, 3)
+    z_slices: jax.Array,  # (G, B, T, D)
     backend: str = "auto",
     bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """Tightening variances for a whole scenario batch, (3, B, T).
+    """Tightening variances for a whole scenario batch, (G, B, T).
 
     backend="pallas" routes through the fused GP inference kernel
     (ops/pallas_gp.py) — one VMEM-resident pass per GP over all B*T query
     points; "xla" is the quadratic-form GEMM; "auto" picks pallas on TPU for
-    isotropic hypers and resident-size variance matrices.
+    resident-size variance matrices. Per-scenario GP populations (leaves with
+    a leading B axis) take a vmapped XLA path: their variance form differs
+    per scenario, so there is no shared Gram to stage once.
     """
-    _, B, T, _ = z_slices.shape
+    if gp.Zs.ndim == 4:  # per-scenario GP population
+        return jnp.moveaxis(
+            jax.vmap(lambda g, z: gp_variances(g, z, bf16=bf16))(
+                gp, jnp.moveaxis(z_slices, 1, 0)
+            ),
+            0, 1,
+        )  # vmap over B -> (B, G, T) -> (G, B, T)
+    G, B, T, D = z_slices.shape
     Mv = gp.var_Z.shape[1]
     isotropic = jnp.ndim(gp.hypers.raw_lengthscale) == 1
     if backend == "auto":
@@ -511,9 +557,9 @@ def batched_variances(
     noise = jax.nn.softplus(gp.hypers.raw_noise) + 1e-6
 
     covs = []
-    for i in range(NUM_GPS):  # 3 kernel launches; each tiles over B*T queries
+    for i in range(G):  # G kernel launches; each tiles over B*T queries
         _, var = gp_mean_var(
-            z_slices[i].reshape(B * T, GP_INPUT_DIM),
+            z_slices[i].reshape(B * T, D),
             var_Z[i], alpha[i], var_mat[i],
             ell[i], sf2[i], noise[i], var_mask[i],
             include_noise=False, interpret=interpret,
@@ -538,9 +584,11 @@ def batched_prepare_step(
     runs as one fused pass (the hot-path integration of the GP-inference
     kernel), and the T-step covariance recursion runs lane-packed in one Pallas
     launch (ops/pallas_tighten.py) — under XLA the vmapped scan of 12x12
-    products was 42% of the whole default-config step (measured)."""
-    z7 = jax.vmap(lambda s: gp_input_from_xu(s.X_warm[:-1], s.U_warm))(states)  # (B, T, 7)
-    covs = batched_variances(gp, slice_gp_inputs(z7), var_backend, var_bf16)  # (3, B, T)
+    products was 42% of the whole default-config step (measured). `gp` may be
+    shared or a per-scenario population (leaves with a leading B axis)."""
+    spec = model_spec(model)
+    zq = jax.vmap(lambda s: spec.gp_input(s.X_warm[:-1], s.U_warm))(states)  # (B, T, z)
+    covs = batched_variances(gp, slice_gp_inputs(zq, spec), var_backend, var_bf16)
     if tighten_backend == "auto":
         tighten_backend = (
             "pallas" if (jax.default_backend() == "tpu" or interpret) else "xla"
@@ -548,20 +596,25 @@ def batched_prepare_step(
     if tighten_backend == "pallas":
         from gpmpc_tpu.ops.pallas_tighten import tighten_lanes
 
-        cov_dn = jax.vmap(
-            lambda z7_b, cv_b: disturbance_diagonals(consts, gp, z7_b, cv_b)
-        )(z7, jnp.moveaxis(covs, 1, 0))  # (B, T, 5)
+        cov_dn = _gp_disturbance_batch(consts, gp, zq, covs, spec)  # (B, T, n_unc)
         t_x, t_u = tighten_lanes(
             cov_dn, consts.Ad, consts.Bd_in, consts.lqr_gain, consts.Bd,
             consts.inverse_cdf, interpret=interpret,
         )
+    elif gp_is_batched(gp, spec):
+        t_x, t_u = jax.vmap(
+            lambda g, z_b, cv_b: tightening_from_variances(consts, g, z_b, cv_b, spec)
+        )(gp, zq, jnp.moveaxis(covs, 1, 0))
     else:
         t_x, t_u = jax.vmap(
-            lambda z7_b, cv_b: tightening_from_variances(consts, gp, z7_b, cv_b)
-        )(z7, jnp.moveaxis(covs, 1, 0))
+            lambda z_b, cv_b: tightening_from_variances(consts, gp, z_b, cv_b, spec)
+        )(zq, jnp.moveaxis(covs, 1, 0))
     return jax.vmap(
-        lambda s, o, tx, tu: _bounds_from_tightening(consts, gp, s, o, tx, tu, soft=soft)
-    )(states, obs, t_x, t_u)
+        lambda s, o, tx, tu, g: _bounds_from_tightening(
+            consts, g, s, o, tx, tu, soft=soft
+        ),
+        in_axes=(0, 0, 0, 0, 0 if gp_is_batched(gp, spec) else None),
+    )(states, obs, t_x, t_u, gp)
 
 
 def select_action(
@@ -589,6 +642,7 @@ def select_action(
         X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap,
         n_iters=sol.n_iters, clamp_frac=clamp_frac,
         soft_viol=mpc_mod.state_bound_violation(sol.X, bounds),
+        eq_res=sol.eq_res, stat_res=sol.stat_res, converged=sol.converged,
     )
     return sol.U[0], new_state, info
 
@@ -610,12 +664,21 @@ def batched_select_action_lanes(
     kernel per 128-scenario lane tile instead of XLA's batched small matmuls,
     and the tightening variances go through the fused GP-inference kernel
     (batched_prepare_step) instead of per-scenario einsums.
+
+    `gp` may carry a leading per-scenario axis (a GP population, one model per
+    scenario — the seed sweep's shape): the GP mean/variance work then runs
+    vmapped under XLA (each scenario has its own Gram) while the QP and the
+    tightening recursion — the measured hot spots — still ride the Pallas lane
+    kernels.
     """
     from gpmpc_tpu.ops.sqp_lanes import (
         MAX_FUSED_HORIZON,
         lanes_horizon_cap,
         sqp_solve_batch_lanes,
     )
+
+    spec = model_spec(model)
+    gp_batched = gp_is_batched(gp, spec)
 
     c = consts.mpc
     T = c.uref.shape[0]
@@ -643,15 +706,17 @@ def batched_select_action_lanes(
     cost = mpc_mod.OcpCost(xref=xref, uref=c.uref, Q=c.Q, R=c.R, Qe=c.Q, scale=c.scale)
     # The fused kernel-linearize path covers the lanes horizon range (the
     # linearizer is stage-looped; the QP dispatches resident/streamed); horizons
-    # past MAX_FUSED_HORIZON take the jacfwd + XLA path.
+    # past MAX_FUSED_HORIZON, model families without a hand-derived kernel
+    # linearizer, and per-scenario GP populations take the jacfwd + XLA path.
     if (
         cfg.kernel_linearize
+        and spec.supports_kernel_linearize
+        and not gp_batched
         and T <= MAX_FUSED_HORIZON
         and jnp.ndim(gp.hypers.raw_lengthscale) == 1
     ):
         # Whole-SQP lanes path: linearization AND QP in Pallas, X/U stay in
         # lanes layout across SQP iterations (isotropic kernels only).
-        from gpmpc_tpu.models.quadrotor import QuadrotorParams  # noqa: F401
         from gpmpc_tpu.ops.sqp_lanes import LanesLinearizer, sqp_solve_batch_lanes_fused
 
         p = model.params
@@ -668,11 +733,31 @@ def batched_select_action_lanes(
         sol = sqp_solve_batch_lanes_fused(
             lin, model.dt, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret
         )
+    elif gp_batched:
+        # Per-scenario GP population: linearize each scenario against ITS GP
+        # (vmapped jacfwd over the population axis), QP still lane-packed.
+        def linearize(X, U):  # X (B, T, nx), U (B, T, nu)
+            def one(g, Xb, Ub):
+                fd_g = lambda x, u: augmented_fd(model, g, x, u)  # noqa: E731
+                A, Bm = jax.vmap(jax.jacfwd(fd_g, argnums=(0, 1)))(Xb, Ub)
+                return jax.vmap(fd_g)(Xb, Ub), A, Bm
+
+            return jax.vmap(one)(gp, X, U)
+
+        sol = sqp_solve_batch_lanes(
+            None, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret,
+            linearize_fn=linearize,
+        )
     else:
         fd = partial(augmented_fd, model, gp)
         fd_jac3 = None
-        if cfg.analytic_jac and jnp.ndim(gp.hypers.raw_lengthscale) == 1:
-            # isotropic GP kernels only; the ARD shape falls back to jacfwd
+        if (
+            cfg.analytic_jac
+            and spec.name == "quadrotor"
+            and jnp.ndim(gp.hypers.raw_lengthscale) == 1
+        ):
+            # hand-derived closed forms exist for the quadrotor's isotropic
+            # kernels only; other shapes fall back to jacfwd
             from gpmpc_tpu.models.jacobians import make_augmented_fd_jac
 
             fd_jac3 = make_augmented_fd_jac(model, gp)
@@ -686,6 +771,7 @@ def batched_select_action_lanes(
         X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap,
         n_iters=sol.n_iters, clamp_frac=clamp_frac,
         soft_viol=jax.vmap(mpc_mod.state_bound_violation)(sol.X, bounds),
+        eq_res=sol.eq_res, stat_res=sol.stat_res, converged=sol.converged,
     )
     return sol.U[:, 0], new_states, info
 
@@ -715,20 +801,25 @@ class GPMPC:
         parallel_scan: bool = False,
         ard_gp: bool = False,
         soft_constraints: float | None = None,
+        bounds: tuple | None = None,
     ):
-        if prior_params is None or any(k not in prior_params for k in ("a", "b")):
-            raise ValueError("GPMPC requires prior_params to be defined and contain 'a' and 'b'.")
+        self.spec = model_spec(symbolic_model)
+        if self.spec.name == "quadrotor":
+            # ≙ the a/b-only prior-params validation at gpmpc.py:43-44; only
+            # the quadrotor's thrust map consumes these
+            # (setup_symbolic_acceleration, gpmpc.py:322-325).
+            if prior_params is None or any(k not in prior_params for k in ("a", "b")):
+                raise ValueError(
+                    "GPMPC requires prior_params to be defined and contain 'a' and 'b'."
+                )
+            if isinstance(prior_params, QuadrotorParams):
+                self._acc_a, self._acc_b = float(prior_params.a), float(prior_params.b)
+            else:
+                self._acc_a, self._acc_b = float(prior_params["a"]), float(prior_params["b"])
         self.sparse = sparse_gp
         self.ard_gp = ard_gp  # per-dimension (ARD) lengthscales; reference uses isotropic
         self.output_dir = output_dir
         self.model = symbolic_model
-        # Only the thrust-map coefficients are consumed here (the symbolic model
-        # already carries the full parameter set) — ≙ setup_symbolic_acceleration,
-        # gpmpc.py:322-325, and the a/b-only validation at gpmpc.py:43-44.
-        if isinstance(prior_params, QuadrotorParams):
-            self._acc_a, self._acc_b = float(prior_params.a), float(prior_params.b)
-        else:
-            self._acc_a, self._acc_b = float(prior_params["a"]), float(prior_params["b"])
         self.dt = symbolic_model.dt
         self.T = horizon
         self.max_gp_samples = max_gp_samples
@@ -745,6 +836,7 @@ class GPMPC:
             symbolic_model, traj, q_mpc=q_mpc, r_mpc=r_mpc,
             output_dir=output_dir, horizon=horizon,
             sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan,
+            bounds=bounds,
         )
         self.traj = traj
 
@@ -757,9 +849,14 @@ class GPMPC:
         )
 
         # Prior linearization at equilibrium -> exact discretization + LQR gain
-        # (gpmpc.py:81-86,500-507).
+        # (gpmpc.py:81-86,500-507). The equilibrium input is the model family's
+        # own trim (quadrotor: hover U_EQ; zero for models without one).
         x_eq = jnp.zeros(nx, jnp.float32)
-        u_eq = quadrotor.U_EQ
+        u_eq = (
+            symbolic_model.u_eq
+            if symbolic_model.u_eq is not None
+            else jnp.zeros(symbolic_model.nu, jnp.float32)
+        )
         dfdx, dfdu = symbolic_model.df_func(x_eq, u_eq)
         Ad, Bd_in = discretize_linear_system(
             np.asarray(dfdx, np.float64), np.asarray(dfdu, np.float64), self.dt, exact=True
@@ -768,7 +865,7 @@ class GPMPC:
         R = np.diag(np.asarray(r_mpc, np.float64))
         lqr_K, _ = lqr_gain_discrete(Ad, Bd_in, Q, R)
 
-        Bd_mat = np.eye(nx)[:, list(UNCERTAIN_DIM)]
+        Bd_mat = np.eye(nx)[:, list(self.spec.uncertain_dim)]
         self.consts = GpMpcConsts(
             mpc=self.prior_ctrl.consts,
             Ad=jnp.asarray(Ad, jnp.float32),
@@ -790,6 +887,7 @@ class GPMPC:
             self.max_gp_points,
             self.max_gp_samples if sparse_gp else self.max_gp_points,
             ard=ard_gp,
+            spec=self.spec,
         )
         self.state = mpc_mod.init_state(horizon, nx, symbolic_model.nu)
         self._requires_recompile = False  # API compat: re-jit never needed here.
@@ -799,20 +897,28 @@ class GPMPC:
     # -- training-data path ---------------------------------------------------
 
     def preprocess_data(self, x, u, x_next):
-        """Rollout transitions -> GP inputs (N, 7) and residual targets (N, 3).
+        """Rollout transitions -> GP inputs (N, z_dim) and residual targets
+        (N, G), via the model family's ResidualSpec.
 
         ≙ preprocess_data, gpmpc.py:113-151, with dt = the model/env step (the
-        reference hardcodes 1/60 here; documented quirk).
+        reference hardcodes 1/60 here; documented quirk). Quadrotor models keep
+        the exact legacy behavior: the thrust-map coefficients come from the
+        `prior_params` passed at construction (reference contract), not from
+        the model's own parameter set.
         """
-        xi, ti = preprocess_data_jnp(
-            self.model, self._acc_a, self._acc_b,
-            jnp.asarray(x, jnp.float32), jnp.asarray(u, jnp.float32),
-            jnp.asarray(x_next, jnp.float32),
-        )
+        x = jnp.asarray(x, jnp.float32)
+        u = jnp.asarray(u, jnp.float32)
+        x_next = jnp.asarray(x_next, jnp.float32)
+        if self.spec.name == "quadrotor":
+            xi, ti = preprocess_data_jnp(
+                self.model, self._acc_a, self._acc_b, x, u, x_next
+            )
+        else:
+            xi, ti = self.spec.make_targets(self.model, x, u, x_next)
         return np.asarray(xi), np.asarray(ti)
 
     def train_gp(self, x, y, lr: float, iterations: int):
-        """Fit the 3 GPs to (N, 7) inputs / (N, 3) targets. ≙ gpmpc.py:153-164.
+        """Fit the G GPs to (N, z_dim) inputs / (N, G) targets. ≙ gpmpc.py:153-164.
 
         Training is one jitted, GP-batched program; dataset growth only changes the
         row mask, so no recompilation ever happens (vs. _requires_recompile=True in
@@ -825,10 +931,11 @@ class GPMPC:
         if n > M:
             raise ValueError(f"GP dataset ({n}) exceeds capacity ({M}); raise max_gp_points")
 
-        Z = np.zeros((NUM_GPS, M, GP_INPUT_DIM), np.float32)
-        Y = np.zeros((NUM_GPS, M), np.float32)
-        mask = np.zeros((NUM_GPS, M), np.float32)
-        for i, idx in enumerate(GP_IDX):
+        G, D = self.spec.num_gps, self.spec.gp_input_dim
+        Z = np.zeros((G, M, D), np.float32)
+        Y = np.zeros((G, M), np.float32)
+        mask = np.zeros((G, M), np.float32)
+        for i, idx in enumerate(self.spec.gp_idx):
             Z[i, :n, : len(idx)] = x[:, list(idx)]
             Y[i, :n] = y[:, i]
             mask[i, :n] = 1.0

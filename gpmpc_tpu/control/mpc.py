@@ -70,6 +70,14 @@ class MpcInfo(NamedTuple):
     # bounds (SqpConfig.soft_x_penalty) this is the graceful-degradation signal:
     # how far the L1-penalized solve chose to exceed the tightened box.
     soft_viol: jax.Array = jnp.asarray(0.0, jnp.float32)
+    # KKT residuals at the returned iterate (acados res_eq / res_stat exit
+    # semantics; ops/sqp.py::kkt_residuals) and whether the SQP's convergence
+    # mask triggered before the iteration cap. A `converged=False` solve is
+    # the framework's analogue of a bad acados status (mpc.py:185) — callers
+    # deciding to trust the action should check it.
+    eq_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
+    stat_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
+    converged: jax.Array = jnp.asarray(True)
 
 
 def default_u_eq(nu: int, dtype=jnp.float32) -> jax.Array:
@@ -179,6 +187,7 @@ def select_action(
     info = MpcInfo(
         X=sol.X, U=sol.U, step_norm=sol.step_norm, qp_gap=sol.qp_gap, n_iters=sol.n_iters,
         soft_viol=state_bound_violation(sol.X, bounds),
+        eq_res=sol.eq_res, stat_res=sol.stat_res, converged=sol.converged,
     )
     return sol.U[0], new_state, info
 
@@ -207,6 +216,7 @@ class MPC:
         sqp_iters: int = 25,
         qp_iters: int = 15,
         parallel_scan: bool = False,
+        bounds: tuple | None = None,
     ):
         self.model = symbolic_model
         self.T = horizon
@@ -214,7 +224,9 @@ class MPC:
         if self.traj.shape[0] < self.traj.shape[1]:  # accept (nx, N) like the reference
             self.traj = self.traj.T
         self.output_dir = output_dir
-        self.consts = make_consts(symbolic_model, self.traj, q_mpc, r_mpc, horizon)
+        self.consts = make_consts(
+            symbolic_model, self.traj, q_mpc, r_mpc, horizon, bounds=bounds
+        )
         self.cfg = SqpConfig(
             sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan
         )

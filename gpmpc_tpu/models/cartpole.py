@@ -68,10 +68,16 @@ def symbolic_cartpole(
     dt: float = 0.02, params: CartpoleParams | None = None
 ) -> SymbolicModel:
     """Cartpole as a `SymbolicModel` — same contract `symbolic_attitude` gives
-    the quadrotor, consumed unchanged by the MPC stack."""
+    the quadrotor, consumed unchanged by the MPC *and* GP-MPC stacks (the
+    residual-GP structure rides along as CARTPOLE_SPEC)."""
+    from gpmpc_tpu.models.residual import CARTPOLE_SPEC  # avoid import cycle
+
     p = params or CartpoleParams()
     fc = partial(continuous_dynamics, params=p)
-    return SymbolicModel(nx=NX, nu=NU, dt=float(dt), params=p, fc_func=fc)
+    return SymbolicModel(
+        nx=NX, nu=NU, dt=float(dt), params=p, fc_func=fc,
+        residual_spec=CARTPOLE_SPEC,
+    )
 
 
 def upright_reference(n_steps: int, dtype=jnp.float32) -> jax.Array:

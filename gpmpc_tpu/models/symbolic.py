@@ -36,13 +36,18 @@ class SymbolicModel:
     nx: int
     nu: int
     dt: float
-    params: QuadrotorParams
+    params: object  # model-family parameter NamedTuple (QuadrotorParams, ...)
     fc_func: Callable[[jax.Array, jax.Array], jax.Array] = field(repr=False)
     # Input-space equilibrium/trim (the quadrotor's hover U_EQ); None = zero
     # input. Consumed by control/mpc.py::make_consts as the default input
     # reference, so each model family carries its own trim instead of the
     # controller guessing from dimensions.
     u_eq: jax.Array | None = field(default=None, repr=False)
+    # Residual-GP structure of this family (models/residual.py::ResidualSpec):
+    # GP feature selection, mean injection, variance factors, target
+    # preprocessing. None = family has no residual-learning structure (nominal
+    # MPC only); the GP-MPC controller requires it.
+    residual_spec: object | None = field(default=None, repr=False)
 
     def fd_func(self, x: jax.Array, u: jax.Array) -> jax.Array:
         return quadrotor.rk4(self.fc_func, x, u, self.dt)
@@ -65,6 +70,10 @@ def symbolic_attitude(dt: float = 0.02, params: dict | QuadrotorParams | None = 
     Drop-in analogue of `crazyflow.sim.symbolic.symbolic_attitude`
     (/root/reference/scripts/run_gp_mpc.py:146).
     """
+    # Import here: models/residual.py imports sibling model modules, so the
+    # spec registry loads lazily to keep the package import-cycle-free.
+    from gpmpc_tpu.models.residual import QUADROTOR_SPEC
+
     if params is None:
         p = quadrotor.PRIOR_PARAMS
     elif isinstance(params, QuadrotorParams):
@@ -74,5 +83,5 @@ def symbolic_attitude(dt: float = 0.02, params: dict | QuadrotorParams | None = 
     fc = partial(quadrotor.continuous_dynamics, params=p)
     return SymbolicModel(
         nx=quadrotor.NX, nu=quadrotor.NU, dt=float(dt), params=p, fc_func=fc,
-        u_eq=quadrotor.U_EQ,
+        u_eq=quadrotor.U_EQ, residual_spec=QUADROTOR_SPEC,
     )

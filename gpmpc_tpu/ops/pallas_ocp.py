@@ -62,36 +62,38 @@ def _t(x):
 
 
 def _chol4_solve(G, rhs):
-    """Solve G X = rhs for SPD G: (4, 4, L), rhs: (4, m, L) -> (4, m, L).
+    """Solve G X = rhs for SPD G: (n, n, L), rhs: (n, m, L) -> (n, m, L).
 
-    Unrolled lane-wise Cholesky — every scalar of the textbook 4x4 algorithm is a
-    128-lane vector here.
+    Unrolled lane-wise Cholesky — every scalar of the textbook n x n algorithm
+    is a 128-lane vector here. n is the (small, trace-time) input dimension:
+    4 for the quadrotor, 1 for the cartpole; the loops unroll at trace time.
     """
-    g = [[G[i, j] for j in range(4)] for i in range(4)]
-    l = [[None] * 4 for _ in range(4)]
-    for j in range(4):
+    n = G.shape[0]
+    g = [[G[i, j] for j in range(n)] for i in range(n)]
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
         s = g[j][j]
         for k in range(j):
             s = s - l[j][k] * l[j][k]
         l[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
         inv = 1.0 / l[j][j]
-        for i in range(j + 1, 4):
+        for i in range(j + 1, n):
             s = g[i][j]
             for k in range(j):
                 s = s - l[i][k] * l[j][k]
             l[i][j] = s * inv
     # forward substitution L y = rhs
-    y = [None] * 4
-    for i in range(4):
+    y = [None] * n
+    for i in range(n):
         s = rhs[i]
         for k in range(i):
             s = s - l[i][k][None, :] * y[k]
         y[i] = s / l[i][i][None, :]
     # back substitution L' x = y
-    x = [None] * 4
-    for i in reversed(range(4)):
+    x = [None] * n
+    for i in reversed(range(n)):
         s = y[i]
-        for k in range(i + 1, 4):
+        for k in range(i + 1, n):
             s = s - l[k][i][None, :] * x[k]
         x[i] = s / l[i][i][None, :]
     return jnp.stack(x, axis=0)

@@ -72,6 +72,16 @@ class SqpConfig(NamedTuple):
     # default bench config — with adaptive-exit SQP/IP, the unshifted warm
     # start is already inside the one-iteration convergence basin at dt=0.02).
     warm_shift: bool = False
+    # KKT-residual exit criteria (acados residual semantics: nlp_solver_tol_eq /
+    # tol_stat, ≙ the solver options at /root/reference/gpmpc/mpc.py:113-120).
+    # When set, convergence additionally requires the dynamics-feasibility
+    # residual max|fd(x_k, u_k) - x_{k+1}| (res_eq) and the projected-gradient
+    # stationarity residual (res_stat, computed from exact adjoint costates —
+    # see sqp_solve) to drop below this tolerance; a solve that exhausts
+    # sqp_iters with residuals above it reports converged=False in SqpSolution/
+    # MpcInfo instead of silently returning. None = step-norm-only exit (the
+    # round-2 behavior).
+    kkt_tol: float | None = None
 
 
 class OcpCost(NamedTuple):
@@ -100,6 +110,55 @@ class SqpSolution(NamedTuple):
     step_norm: jax.Array  # last accepted step inf-norm
     qp_gap: jax.Array  # last QP complementarity gap
     n_iters: jax.Array  # iterations until convergence mask triggered
+    # KKT residuals at the last active iterate (acados res_eq / res_stat):
+    # max dynamics defect and projected-gradient stationarity (see
+    # kkt_residuals). inf until the first iteration evaluates them.
+    eq_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
+    stat_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
+    # Whether the convergence mask triggered before the iteration cap (always
+    # checks step_norm < step_tol; with cfg.kkt_tol also both residuals).
+    converged: jax.Array = jnp.asarray(True)
+
+
+def kkt_residuals(
+    A: jax.Array,  # (T, nx, nx) discrete dynamics Jacobians at the iterate
+    B: jax.Array,  # (T, nx, nu)
+    defect: jax.Array,  # (T, nx) fd(x_k, u_k) - x_{k+1}
+    qx: jax.Array,  # (T+1, nx) cost gradient d l / dx (incl. terminal)
+    ru: jax.Array,  # (T, nu) cost gradient d l / du
+    U: jax.Array,  # (T, nu) current inputs
+    lu: jax.Array,  # (T, nu) input bounds
+    uu: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """(eq_res, stat_res) at the current SQP iterate.
+
+    eq_res = max |fd(x_k, u_k) - x_{k+1}| — the NLP's dynamics feasibility
+    (acados res_eq; box feasibility is maintained by construction, the QP's
+    delta bounds keep every accepted iterate inside its box).
+
+    stat_res: costates are recovered EXACTLY from the state-stationarity
+    recursion lam_k = qx_k + A_k' lam_{k+1} (the multipliers of inactive state
+    bounds are zero and active state bounds' are absorbed into lam — the
+    standard adjoint elimination), then input stationarity is measured as the
+    projected-gradient norm max |u - P_[lu,uu](u - (ru + B' lam))|, which is
+    zero iff u satisfies its first-order conditions under the box. This is
+    acados' res_stat modulo the state-bound absorption, and — unlike the
+    step-norm — it cannot be fooled by a stalled QP returning a tiny step at a
+    non-stationary point.
+    """
+    eq_res = jnp.max(jnp.abs(defect))
+
+    def back(lam_next, ops):
+        A_k, B_k, qx_k, ru_k = ops
+        gu = ru_k + B_k.T @ lam_next
+        lam = qx_k + A_k.T @ lam_next
+        return lam, gu
+
+    lam_T = qx[-1]
+    _, gu = jax.lax.scan(back, lam_T, (A, B, qx[:-1], ru), reverse=True)
+    proj = jnp.clip(U - gu, lu, uu)
+    stat_res = jnp.max(jnp.abs(U - proj))
+    return eq_res, stat_res
 
 
 def sqp_solve(
@@ -129,7 +188,7 @@ def sqp_solve(
     big = jnp.full((1, nx), BOUND_INF, dtype)
 
     def body(carry, _):
-        X, U, converged, step_norm, qp_gap, n_iters = carry
+        X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res = carry
         X = X.at[0].set(x0)
 
         A, B = fd_jac(X[:-1], U)
@@ -139,6 +198,12 @@ def sqp_solve(
         eu = U - cost.uref
         qx = jnp.einsum("kij,kj->ki", Qxx, ex)
         ru = jnp.einsum("kij,kj->ki", Ruu, eu)
+
+        # KKT residuals of the CURRENT iterate (≙ acados' residual-based exit);
+        # when the step below is tiny, this iterate IS the returned solution.
+        new_eq, new_stat = kkt_residuals(
+            A, B, defect, qx, ru, U, bounds.lu, bounds.uu
+        )
 
         qp = OcpQpData(
             A=A,
@@ -166,9 +231,19 @@ def sqp_solve(
         U_new = jnp.where(active, U + sol.du, U)
         step_norm = jnp.where(active, new_step, step_norm)
         qp_gap = jnp.where(active, sol.gap, qp_gap)
+        eq_res = jnp.where(active, new_eq, eq_res)
+        stat_res = jnp.where(active, new_stat, stat_res)
         n_iters = n_iters + active.astype(jnp.int32)
-        converged = jnp.logical_or(converged, new_step < cfg.step_tol)
-        return (X_new, U_new, converged, step_norm, qp_gap, n_iters), None
+        step_ok = new_step < cfg.step_tol
+        if cfg.kkt_tol is not None:
+            step_ok = jnp.logical_and(
+                step_ok,
+                jnp.logical_and(new_eq < cfg.kkt_tol, new_stat < cfg.kkt_tol),
+            )
+        converged = jnp.logical_or(converged, step_ok)
+        return (
+            X_new, U_new, converged, step_norm, qp_gap, n_iters, eq_res, stat_res,
+        ), None
 
     init = (
         X_init,
@@ -177,18 +252,23 @@ def sqp_solve(
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),
     )
     if cfg.early_exit:
         def cond(carry):
-            _, _, converged, *_rest, n_iters = carry
+            converged, n_iters = carry[2], carry[5]
             return jnp.logical_and(n_iters < cfg.sqp_iters, jnp.logical_not(converged))
 
-        (X, U, _, step_norm, qp_gap, n_iters) = jax.lax.while_loop(
-            cond, lambda c: body(c, None)[0], init
+        (X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res) = (
+            jax.lax.while_loop(cond, lambda c: body(c, None)[0], init)
         )
     else:
-        (X, U, _, step_norm, qp_gap, n_iters), _ = jax.lax.scan(
-            body, init, None, length=cfg.sqp_iters
+        (X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res), _ = (
+            jax.lax.scan(body, init, None, length=cfg.sqp_iters)
         )
     X = X.at[0].set(x0)
-    return SqpSolution(X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters)
+    return SqpSolution(
+        X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters,
+        eq_res=eq_res, stat_res=stat_res, converged=converged,
+    )

@@ -25,7 +25,13 @@ from gpmpc_tpu.ops.pallas_ocp import (
     solve_ocp_qp_lanes,
     solve_ocp_qp_lanes_streamed,
 )
-from gpmpc_tpu.ops.sqp import OcpBounds, OcpCost, SqpConfig, SqpSolution
+from gpmpc_tpu.ops.sqp import (
+    OcpBounds,
+    OcpCost,
+    SqpConfig,
+    SqpSolution,
+    kkt_residuals,
+)
 
 
 # All-resident kernel VMEM cap. After the accumulating-matmul rewrite (small
@@ -111,6 +117,25 @@ def _from_lane_tiles(x: jax.Array, B: int) -> jax.Array:
     return jnp.moveaxis(x, -1, 0)[:B]
 
 
+def _kkt_residuals_lanes(A, Bm, defect, qx, ru, U, lu, uu):
+    """ops/sqp.py::kkt_residuals in lanes layout (trailing lane axis).
+
+    A (T, nx, nx, L), Bm (T, nx, nu, L), defect (T, nx, L), qx (T+1, nx, L),
+    ru/U/lu/uu (T, nu, L) -> (eq (L,), stat (L,))."""
+    eq = jnp.max(jnp.abs(defect), axis=(0, 1))
+
+    def back(lam, ops):
+        A_k, B_k, qx_k, ru_k = ops
+        gu = ru_k + jnp.einsum("iul,il->ul", B_k, lam)
+        lam_new = qx_k + jnp.einsum("ijl,il->jl", A_k, lam)
+        return lam_new, gu
+
+    _, gu = jax.lax.scan(back, qx[-1], (A, Bm, qx[:-1], ru), reverse=True)
+    proj = jnp.clip(U - gu, lu, uu)
+    stat = jnp.max(jnp.abs(U - proj), axis=(0, 1))
+    return eq, stat
+
+
 class LanesLinearizer(NamedTuple):
     """Inputs for the in-kernel linearizer (ops/pallas_linearize.py): the
     quadrotor plant coefficients + GP mean data in kernel-ready form."""
@@ -184,6 +209,7 @@ def sqp_solve_batch_lanes_fused(
         defect = fnext - X[1:]
         qx = qdiag_l[0] * (X - xref)
         ru = rdiag_l[0] * (U - uref_l[0])
+        eq, stat = _kkt_residuals_lanes(A, Bm, defect, qx, ru, U, lu, uu)
         lx_d = (lx - X).at[0].set(-big)
         ux_d = (ux - X).at[0].set(big)
         qp = LanesQp(
@@ -191,11 +217,11 @@ def sqp_solve_batch_lanes_fused(
             lx=lx_d, ux=ux_d, lu=lu - U, uu=uu - U,
         )
         dx, du, gap = _solve_qp_lanes(qp, cfg, interpret)
-        return dx, du, gap
+        return dx, du, gap, eq, stat
 
     def body(carry):
-        X, U, converged, step_norm, qp_gap, n_iters = carry
-        dx, du, gap = jax.lax.map(
+        X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res = carry
+        dx, du, gap, new_eq, new_stat = jax.lax.map(
             tile_iter, (X, U, x0_l, xref_l, lx_l, ux_l, lu_l, uu_l)
         )
         new_step = jnp.maximum(
@@ -207,9 +233,17 @@ def sqp_solve_batch_lanes_fused(
         U = jnp.where(act_b, U + du, U)
         step_norm = jnp.where(active, new_step, step_norm)
         qp_gap = jnp.where(active, gap, qp_gap)
+        eq_res = jnp.where(active, new_eq, eq_res)
+        stat_res = jnp.where(active, new_stat, stat_res)
         n_iters = n_iters + active.astype(jnp.int32)
-        converged = jnp.logical_or(converged, new_step < cfg.step_tol)
-        return (X, U, converged, step_norm, qp_gap, n_iters)
+        step_ok = new_step < cfg.step_tol
+        if cfg.kkt_tol is not None:
+            step_ok = jnp.logical_and(
+                step_ok,
+                jnp.logical_and(new_eq < cfg.kkt_tol, new_stat < cfg.kkt_tol),
+            )
+        converged = jnp.logical_or(converged, step_ok)
+        return (X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res)
 
     init = (
         X_l, U_l,
@@ -217,28 +251,36 @@ def sqp_solve_batch_lanes_fused(
         jnp.full((n_tiles, lanes), jnp.inf, dtype),
         jnp.full((n_tiles, lanes), jnp.inf, dtype),
         jnp.zeros((n_tiles, lanes), jnp.int32),
+        jnp.full((n_tiles, lanes), jnp.inf, dtype),
+        jnp.full((n_tiles, lanes), jnp.inf, dtype),
     )
     if cfg.early_exit:
         def cond(carry):
-            _, _, converged, _, _, n_iters = carry
+            converged, n_iters = carry[2], carry[5]
             return jnp.logical_and(
                 jnp.max(n_iters) < cfg.sqp_iters, jnp.logical_not(jnp.all(converged))
             )
 
-        X, U, _, step_norm, qp_gap, n_iters = jax.lax.while_loop(cond, body, init)
+        X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res = (
+            jax.lax.while_loop(cond, body, init)
+        )
     else:
         carry = init
         for _ in range(cfg.sqp_iters):
             carry = body(carry)
-        X, U, _, step_norm, qp_gap, n_iters = carry
+        X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res = carry
 
     X = X.at[:, 0, :, :].set(x0_l)
     unpack = lambda x: _from_lane_tiles(x, B)
+    lane_scalar = lambda x: _from_lane_tiles(x[:, None, :], B)[:, 0]
     return SqpSolution(
         X=unpack(X), U=unpack(U),
-        step_norm=_from_lane_tiles(step_norm[:, None, :], B)[:, 0],
-        qp_gap=_from_lane_tiles(qp_gap[:, None, :], B)[:, 0],
-        n_iters=_from_lane_tiles(n_iters[:, None, :], B)[:, 0],
+        step_norm=lane_scalar(step_norm),
+        qp_gap=lane_scalar(qp_gap),
+        n_iters=lane_scalar(n_iters),
+        eq_res=lane_scalar(eq_res),
+        stat_res=lane_scalar(stat_res),
+        converged=lane_scalar(converged),
     )
 
 
@@ -252,11 +294,15 @@ def sqp_solve_batch_lanes(
     cfg: SqpConfig,
     interpret: bool = False,
     fd_jac3=None,
+    linearize_fn=None,
 ) -> SqpSolution:
     """Batch SQP solve; returns SqpSolution with leaves batched over B.
 
     fd_jac3: optional (x, u) -> (fnext, A, B) combined evaluator (analytic
     Jacobians, models/jacobians.py); default differentiates fd with jacfwd.
+    linearize_fn: optional whole-batch (X (B,T,nx), U (B,T,nu)) ->
+    (fnext, A, B) evaluator, for dynamics that differ per scenario (e.g. a
+    per-scenario GP population); overrides fd/fd_jac3.
     """
     B, Tp1, nx = X_init.shape
     T = Tp1 - 1
@@ -275,7 +321,9 @@ def sqp_solve_batch_lanes(
     )  # (T+1, nx)
     rdiag = scale[:-1, None] * r_diag[None]  # (T, nu)
 
-    if fd_jac3 is None:
+    if linearize_fn is not None:
+        linearize = linearize_fn
+    elif fd_jac3 is None:
         fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
         fd_batch = jax.vmap(jax.vmap(fd))
 
@@ -291,7 +339,7 @@ def sqp_solve_batch_lanes(
     big = jnp.asarray(BOUND_INF, dtype)
 
     def body(carry, _):
-        X, U, converged, step_norm, qp_gap, n_iters = carry
+        X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res = carry
         X = X.at[:, 0, :].set(x0)
 
         fnext, A, Bm = linearize(X[:, :-1], U)  # (B,T,nx), (B,T,nx,nx), (B,T,nx,nu)
@@ -301,6 +349,11 @@ def sqp_solve_batch_lanes(
         eu = U - cost.uref
         qx = qdiag[None] * ex  # (B, T+1, nx)
         ru = rdiag[None] * eu
+
+        # Per-scenario KKT residuals of the current iterate (ops/sqp.py).
+        new_eq, new_stat = jax.vmap(kkt_residuals)(
+            A, Bm, defect, qx, ru, U, bounds.lu, bounds.uu
+        )
 
         lx = bounds.lx - X
         ux = bounds.ux - X
@@ -337,9 +390,19 @@ def sqp_solve_batch_lanes(
         U_new = jnp.where(active, U + du, U)
         step_norm = jnp.where(active[:, 0, 0], new_step, step_norm)
         qp_gap = jnp.where(active[:, 0, 0], gap, qp_gap)
+        eq_res = jnp.where(active[:, 0, 0], new_eq, eq_res)
+        stat_res = jnp.where(active[:, 0, 0], new_stat, stat_res)
         n_iters = n_iters + active[:, 0, 0].astype(jnp.int32)
-        converged = jnp.logical_or(converged, new_step < cfg.step_tol)
-        return (X_new, U_new, converged, step_norm, qp_gap, n_iters), None
+        step_ok = new_step < cfg.step_tol
+        if cfg.kkt_tol is not None:
+            step_ok = jnp.logical_and(
+                step_ok,
+                jnp.logical_and(new_eq < cfg.kkt_tol, new_stat < cfg.kkt_tol),
+            )
+        converged = jnp.logical_or(converged, step_ok)
+        return (
+            X_new, U_new, converged, step_norm, qp_gap, n_iters, eq_res, stat_res,
+        ), None
 
     init = (
         X_init,
@@ -348,22 +411,25 @@ def sqp_solve_batch_lanes(
         jnp.full((B,), jnp.inf, dtype),
         jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.full((B,), jnp.inf, dtype),
     )
     if cfg.early_exit:
         def cond(carry):
-            _, _, converged, _, _, n_iters = carry
+            converged, n_iters = carry[2], carry[5]
             return jnp.logical_and(
                 jnp.max(n_iters) < cfg.sqp_iters, jnp.logical_not(jnp.all(converged))
             )
 
-        (X, U, _, step_norm, qp_gap, n_iters) = jax.lax.while_loop(
-            cond, lambda c: body(c, None)[0], init
+        (X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res) = (
+            jax.lax.while_loop(cond, lambda c: body(c, None)[0], init)
         )
     else:
-        (X, U, _, step_norm, qp_gap, n_iters), _ = jax.lax.scan(
-            body, init, None, length=cfg.sqp_iters
+        (X, U, converged, step_norm, qp_gap, n_iters, eq_res, stat_res), _ = (
+            jax.lax.scan(body, init, None, length=cfg.sqp_iters)
         )
     X = X.at[:, 0, :].set(x0)
     return SqpSolution(
-        X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters
+        X=X, U=U, step_norm=step_norm, qp_gap=qp_gap, n_iters=n_iters,
+        eq_res=eq_res, stat_res=stat_res, converged=converged,
     )

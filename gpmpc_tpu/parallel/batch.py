@@ -60,7 +60,8 @@ def batched_gpmpc_step(
     # Horizons past even the A/B-streaming kernel's resident-state budget fall
     # back to the XLA path (combine with cfg.parallel_scan for O(log T) depth).
     step = partial(gpmpc_mod.select_action, model, cfg)
-    return jax.vmap(step, in_axes=(None, None, 0, 0))(consts, gp, states, obs)
+    gp_axis = 0 if gp.Zs.ndim == 4 else None  # per-scenario GP population
+    return jax.vmap(step, in_axes=(None, gp_axis, 0, 0))(consts, gp, states, obs)
 
 
 def make_batched_controller_step(model, cfg, mesh=None):
@@ -88,7 +89,7 @@ class EpisodeResult(NamedTuple):
 def batched_episode(
     model: SymbolicModel,
     cfg: SqpConfig,
-    env_params: drone.EnvParams,
+    env_params,
     consts: GpMpcConsts,
     gp: GpModel,
     keys: jax.Array,  # (B,) PRNG keys
@@ -98,8 +99,14 @@ def batched_episode(
     backend: str = "xla",
     interpret: bool = False,
     gp_batched: bool = False,
+    env_mod=drone,
 ) -> EpisodeResult:
     """Full closed-loop episodes for B scenarios as one scanned XLA program.
+
+    `env_mod` selects the environment family: any module with the
+    `envs/drone.py` functional surface (`env_reset`, `env_step_dynamic`,
+    `params_to_array`, `randomize_params`) — `envs/cartpole_env.py` is the
+    second instance. The model/env pairing is the caller's contract.
 
     With `param_scale`, every scenario runs against its own randomized plant
     coefficients (BASELINE config 3: domain-randomized rollouts) while the
@@ -109,7 +116,9 @@ def batched_episode(
     scenario runs its OWN GP model — a population of independently-learned
     controllers evaluated as one program (the multi-seed learning sweep,
     parallel/sweep.py, rides this; the reference can only run such populations
-    as sequential processes).
+    as sequential processes). Supported on both backends: the lanes path keeps
+    the QP/tightening kernels lane-packed and runs the per-scenario GP algebra
+    vmapped under XLA.
 
     backend="lanes" (requires use_gp=True) runs the controller step through the
     lane-packed Pallas kernels with the batch axis inside the scan — the
@@ -121,21 +130,18 @@ def batched_episode(
     if backend == "lanes":
         if not use_gp:
             raise ValueError("backend='lanes' requires use_gp=True (GP-MPC step)")
-        if gp_batched:
-            # The lanes kernels stage ONE shared GP into VMEM per tile.
-            raise ValueError("backend='lanes' requires a shared GP (gp_batched=False)")
         return _batched_episode_lanes(
             model, cfg, env_params, consts, gp, keys, n_steps,
-            param_scale=param_scale, interpret=interpret,
+            param_scale=param_scale, interpret=interpret, env_mod=env_mod,
         )
 
     def single_episode(gp_i, key):
         k_env, k_par = jax.random.split(key)
         if param_scale is None:
-            plant = drone.params_to_array(env_params.params)
+            plant = env_mod.params_to_array(env_params.params)
         else:
-            plant = drone.randomize_params(k_par, env_params.params, scale=param_scale)
-        env_state, obs0 = drone.env_reset(env_params, k_env)
+            plant = env_mod.randomize_params(k_par, env_params.params, scale=param_scale)
+        env_state, obs0 = env_mod.env_reset(env_params, k_env)
         ctrl_state = mpc_mod.init_state(cfg_horizon(consts), model.nx, model.nu)
 
         def step(carry, _):
@@ -148,7 +154,7 @@ def batched_episode(
                 u, ctrl_state, _ = mpc_mod.select_action(
                     model, cfg, consts.mpc, ctrl_state, obs
                 )
-            env_state, obs_next, reward, _, _ = drone.env_step_dynamic(
+            env_state, obs_next, reward, _, _ = env_mod.env_step_dynamic(
                 env_params, plant, env_state, u
             )
             return (env_state, ctrl_state, obs_next), (obs_next, u, reward)
@@ -165,25 +171,26 @@ def batched_episode(
 def _batched_episode_lanes(
     model: SymbolicModel,
     cfg: SqpConfig,
-    env_params: drone.EnvParams,
+    env_params,
     consts: GpMpcConsts,
     gp: GpModel,
     keys: jax.Array,
     n_steps: int,
     param_scale: float | None,
     interpret: bool,
+    env_mod=drone,
 ) -> EpisodeResult:
-    """Batch-inside-scan episode runner on the lane-packed Pallas backend."""
+    """Batch-inside-scan episode runner on the lane-packed Pallas backend.
+    `gp` leaves may carry a leading per-scenario axis (GP populations)."""
     k_env, k_par = jax.vmap(jax.random.split, out_axes=1)(keys)
+    plant0 = env_mod.params_to_array(env_params.params)
     if param_scale is None:
-        plant = jnp.broadcast_to(
-            drone.params_to_array(env_params.params), (keys.shape[0], 8)
-        )
+        plant = jnp.broadcast_to(plant0, (keys.shape[0],) + plant0.shape)
     else:
         plant = jax.vmap(
-            lambda k: drone.randomize_params(k, env_params.params, scale=param_scale)
+            lambda k: env_mod.randomize_params(k, env_params.params, scale=param_scale)
         )(k_par)
-    env_states, obs0 = jax.vmap(lambda k: drone.env_reset(env_params, k))(k_env)
+    env_states, obs0 = jax.vmap(lambda k: env_mod.env_reset(env_params, k))(k_env)
     T = cfg_horizon(consts)
     ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(T, model.nx, model.nu))(
         jnp.arange(keys.shape[0])
@@ -195,7 +202,7 @@ def _batched_episode_lanes(
             model, cfg, consts, gp, ctrl_states, obs, interpret=interpret
         )
         env_states, obs_next, reward, _, _ = jax.vmap(
-            lambda p, s, a: drone.env_step_dynamic(env_params, p, s, a)
+            lambda p, s, a: env_mod.env_step_dynamic(env_params, p, s, a)
         )(plant, env_states, u)
         return (env_states, ctrl_states, obs_next), (obs_next, u, reward)
 

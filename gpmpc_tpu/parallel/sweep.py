@@ -35,8 +35,8 @@ from gpmpc_tpu.control.gpmpc import (
     GpModel,
     GpMpcConsts,
     empty_gp_model,
+    model_spec,
     pack_training_buffers,
-    preprocess_data_jnp,
     train_gp_models,
 )
 from gpmpc_tpu.envs import drone
@@ -54,9 +54,9 @@ class SweepResult(NamedTuple):
 def seed_sweep(
     model: SymbolicModel,
     cfg: SqpConfig,
-    env_params: drone.EnvParams,
+    env_params,
     consts: GpMpcConsts,
-    prior_params: dict,
+    prior_params: dict | None = None,
     *,
     n_seeds: int,
     n_epochs: int,
@@ -68,8 +68,20 @@ def seed_sweep(
     gp_lr: float = 0.05,
     master_seed: int = 0,
     mesh=None,
+    env_mod=drone,
+    backend: str = "xla",
 ) -> SweepResult:
     """Run `n_seeds` independent GP-MPC learning runs in parallel on-device.
+
+    Model-agnostic: residual structure (GP inputs, target preprocessing, buffer
+    widths) comes from the model's ResidualSpec, and `env_mod` selects the
+    plant family (envs/drone.py surface; see parallel/batch.py::batched_episode).
+    `prior_params` is accepted for API compatibility but unused — the thrust
+    map now rides the spec's own make_targets (the model's prior parameters).
+
+    backend="lanes" routes every episode's controller steps through the
+    lane-packed Pallas QP/tightening kernels (per-seed GP algebra runs vmapped
+    under XLA) — the fast path for statistically meaningful seed counts on TPU.
 
     With `mesh` (a 1-D `jax.sharding.Mesh`), the seed axis is sharded over the
     mesh's devices: every per-seed leaf (GP ensemble, dataset buffer, keys)
@@ -84,7 +96,7 @@ def seed_sweep(
         )
     cap = n_epochs * samples_per_epoch
     max_inducing = min(max_inducing, cap)  # can't induce more points than exist
-    acc_a, acc_b = float(prior_params["a"]), float(prior_params["b"])
+    spec = model_spec(model)
 
     root = jax.random.PRNGKey(master_seed)
     seed_keys = jax.random.split(root, n_seeds)  # (S, 2)
@@ -95,7 +107,7 @@ def seed_sweep(
     def eval_cost(gp, gp_batched):
         ep = batched_episode(
             model, cfg, env_params, consts, gp, eval_keys, n_steps,
-            use_gp=True, gp_batched=gp_batched,
+            use_gp=True, gp_batched=gp_batched, env_mod=env_mod, backend=backend,
         )
         return -ep.rewards.sum(axis=-1)  # (S,)
 
@@ -107,7 +119,7 @@ def seed_sweep(
         )(seed_keys)
         ep = batched_episode(
             model, cfg, env_params, consts, gp, collect_keys, n_steps,
-            use_gp=True, gp_batched=True,
+            use_gp=True, gp_batched=True, env_mod=env_mod, backend=backend,
         )
 
         # 2. Per-seed transition sampling + residual-target preprocessing +
@@ -115,7 +127,7 @@ def seed_sweep(
         def accumulate(obs, actions, key, bx, by):
             idx = jax.random.choice(key, n_steps, (samples_per_epoch,), replace=False)
             x, u, x_next = obs[idx], actions[idx], obs[idx + 1]
-            xi, ti = preprocess_data_jnp(model, acc_a, acc_b, x, u, x_next)
+            xi, ti = spec.make_targets(model, x, u, x_next)
             start = epoch_idx * samples_per_epoch
             bx = jax.lax.dynamic_update_slice(bx, xi.astype(bx.dtype), (start, 0))
             by = jax.lax.dynamic_update_slice(by, ti.astype(by.dtype), (start, 0))
@@ -126,12 +138,12 @@ def seed_sweep(
         )(seed_keys)
         bufx, bufy = jax.vmap(accumulate)(ep.obs, ep.actions, sample_keys, bufx, bufy)
 
-        # 3. Refit every seed's 3-GP ensemble on its accumulated dataset.
+        # 3. Refit every seed's GP ensemble on its accumulated dataset.
         n_active = (epoch_idx + 1) * samples_per_epoch
 
         def refit(bx, by, key):
             return train_gp_models(
-                pack_training_buffers(bx, by, n_active), key,
+                pack_training_buffers(bx, by, n_active, spec), key,
                 sparse=sparse, max_inducing=max_inducing,
                 n_train=gp_iters, lr=gp_lr,
             )
@@ -145,11 +157,11 @@ def seed_sweep(
         cost = eval_cost(gp, gp_batched=True)
         return gp, bufx, bufy, cost
 
-    gp0 = empty_gp_model(cap, max_inducing if sparse else cap)
+    gp0 = empty_gp_model(cap, max_inducing if sparse else cap, spec=spec)
     prior_cost = jax.jit(partial(eval_cost, gp_batched=False))(gp0)
 
-    bufx = jnp.zeros((n_seeds, cap, 7), jnp.float32)
-    bufy = jnp.zeros((n_seeds, cap, 3), jnp.float32)
+    bufx = jnp.zeros((n_seeds, cap, spec.z_dim), jnp.float32)
+    bufy = jnp.zeros((n_seeds, cap, spec.num_gps), jnp.float32)
     gp = jax.tree.map(lambda l: jnp.broadcast_to(l[None], (n_seeds,) + l.shape), gp0)
 
     if mesh is not None:

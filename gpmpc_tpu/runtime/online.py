@@ -32,6 +32,7 @@ import numpy as np
 
 from gpmpc_tpu.control.gpmpc import (
     GpModel,
+    model_spec,
     pack_training_buffers,
     preprocess_data_jnp,
     train_gp_models,
@@ -54,7 +55,7 @@ class OnlineLearner:
     def __init__(
         self,
         model: SymbolicModel,
-        prior_params: dict,
+        prior_params: dict | None = None,
         capacity: int = 4096,
         max_inducing: int = 40,
         sparse: bool = True,
@@ -62,20 +63,25 @@ class OnlineLearner:
         lr: float = 0.05,
         seed: int = 0,
     ):
-        self._x = np.zeros((capacity, 7), np.float32)
-        self._y = np.zeros((capacity, 3), np.float32)
+        spec = model_spec(model)
+        self._x = np.zeros((capacity, spec.z_dim), np.float32)
+        self._y = np.zeros((capacity, spec.num_gps), np.float32)
         self._capacity = capacity
         self._write = 0  # ring head
         self._count = 0  # rows filled (saturates at capacity)
         self._key = jax.random.PRNGKey(seed)
-        self._preprocess = jax.jit(
-            partial(preprocess_data_jnp, model,
-                    float(prior_params["a"]), float(prior_params["b"]))
-        )
+        if spec.name == "quadrotor" and prior_params is not None:
+            # legacy contract: the thrust map comes from the caller's prior fit
+            self._preprocess = jax.jit(
+                partial(preprocess_data_jnp, model,
+                        float(prior_params["a"]), float(prior_params["b"]))
+            )
+        else:
+            self._preprocess = jax.jit(partial(spec.make_targets, model))
 
         def refit(bufx, bufy, count, key):
             return train_gp_models(
-                pack_training_buffers(bufx, bufy, count), key, sparse=sparse,
+                pack_training_buffers(bufx, bufy, count, spec), key, sparse=sparse,
                 max_inducing=min(max_inducing, capacity),
                 n_train=n_train, lr=lr,
             )
