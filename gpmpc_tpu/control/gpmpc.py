@@ -534,11 +534,10 @@ def batched_variances(
         )  # vmap over B -> (B, G, T) -> (G, B, T)
     G, B, T, D = z_slices.shape
     Mv = gp.var_Z.shape[1]
-    isotropic = jnp.ndim(gp.hypers.raw_lengthscale) == 1
     if backend == "auto":
         backend = (
             "pallas"
-            if (jax.default_backend() == "tpu" and isotropic and Mv <= 1024)
+            if (jax.default_backend() == "tpu" and Mv <= 1024)
             else "xla"
         )
     if backend != "pallas":
@@ -588,7 +587,9 @@ def batched_prepare_step(
     shared or a per-scenario population (leaves with a leading B axis)."""
     spec = model_spec(model)
     zq = jax.vmap(lambda s: spec.gp_input(s.X_warm[:-1], s.U_warm))(states)  # (B, T, z)
-    covs = batched_variances(gp, slice_gp_inputs(zq, spec), var_backend, var_bf16)
+    covs = batched_variances(
+        gp, slice_gp_inputs(zq, spec), var_backend, var_bf16, interpret=interpret
+    )
     if tighten_backend == "auto":
         tighten_backend = (
             "pallas" if (jax.default_backend() == "tpu" or interpret) else "xla"
@@ -713,19 +714,23 @@ def batched_select_action_lanes(
         and spec.supports_kernel_linearize
         and not gp_batched
         and T <= MAX_FUSED_HORIZON
-        and jnp.ndim(gp.hypers.raw_lengthscale) == 1
     ):
         # Whole-SQP lanes path: linearization AND QP in Pallas, X/U stay in
-        # lanes layout across SQP iterations (isotropic kernels only).
+        # lanes layout across SQP iterations (isotropic and ARD kernels).
         from gpmpc_tpu.ops.sqp_lanes import LanesLinearizer, sqp_solve_batch_lanes_fused
 
         p = model.params
         params8 = jnp.asarray([p.a, p.b, p.c, p.d, p.e, p.f, p.h, p.l], jnp.float32)
-        ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+        ell = jax.nn.softplus(gp.hypers.raw_lengthscale)  # (G,) or (G, D)
         sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+        G = gp.Zs.shape[0]
+        D = gp.Zs.shape[-1]
+        inv_ell2 = jnp.broadcast_to(
+            (1.0 / (ell * ell)).reshape(G, -1), (G, D)
+        )
         lin = LanesLinearizer(
             params8=params8,
-            hyp=jnp.stack([1.0 / (ell * ell), sf2], axis=1),
+            hyp=jnp.concatenate([sf2[:, None], inv_ell2], axis=1),  # (G, 1+D)
             Zs=gp.Zs,
             alpha=gp.alpha_s,  # zero for the untrained model -> residual vanishes
             use_gp=True,
@@ -751,13 +756,9 @@ def batched_select_action_lanes(
     else:
         fd = partial(augmented_fd, model, gp)
         fd_jac3 = None
-        if (
-            cfg.analytic_jac
-            and spec.name == "quadrotor"
-            and jnp.ndim(gp.hypers.raw_lengthscale) == 1
-        ):
-            # hand-derived closed forms exist for the quadrotor's isotropic
-            # kernels only; other shapes fall back to jacfwd
+        if cfg.analytic_jac and spec.name == "quadrotor":
+            # hand-derived closed forms exist for the quadrotor family
+            # (isotropic and ARD kernels); other families fall back to jacfwd
             from gpmpc_tpu.models.jacobians import make_augmented_fd_jac
 
             fd_jac3 = make_augmented_fd_jac(model, gp)

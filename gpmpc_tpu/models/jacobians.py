@@ -76,10 +76,11 @@ def prior_jacobians(p: QuadrotorParams, x: jax.Array, u: jax.Array):
 def _gp_mean_and_grad(Zs_i, alpha_i, ell_i, sf2_i, z_i):
     """SE posterior mean and its gradient wrt the query point.
 
-    mean = sum_m k_m alpha_m,  dmean/dz_d = sum_m k_m alpha_m (Z_{m,d} - z_d)/ell^2.
+    mean = sum_m k_m alpha_m,  dmean/dz_d = sum_m k_m alpha_m (Z_{m,d} - z_d)/ell_d^2.
+    ell_i may be a scalar (isotropic) or a (D,) ARD vector.
     """
     diff = Zs_i - z_i[None, :]  # (Ms, D)
-    k = sf2_i * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1) / (ell_i * ell_i))
+    k = sf2_i * jnp.exp(-0.5 * jnp.sum((diff * diff) / (ell_i * ell_i), axis=-1))
     ka = k * alpha_i
     mean = jnp.sum(ka)
     grad = jnp.sum(ka[:, None] * diff, axis=0) / (ell_i * ell_i)

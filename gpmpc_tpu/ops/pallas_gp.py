@@ -36,23 +36,23 @@ def _gp_posterior_kernel(
     Zt_ref,  # (D, M) training inputs, transposed
     alpha_ref,  # (M, 1) posterior weights
     Kinv_ref,  # (M, M)
-    hyp_ref,  # (1, 4) [ell, sf2, noise, include_noise]
+    hyp_ref,  # (1, 3 + D) [sf2, noise, include_noise, inv_ell2_0 .. inv_ell2_{D-1}]
     mask_ref,  # (1, M)
     mean_ref,  # (TILE, 1) out
     var_ref,  # (TILE, 1) out
 ):
-    ell = hyp_ref[0, 0]
-    sf2 = hyp_ref[0, 1]
-    noise = hyp_ref[0, 2]
-    add_noise = hyp_ref[0, 3]
+    sf2 = hyp_ref[0, 0]
+    noise = hyp_ref[0, 1]
+    add_noise = hyp_ref[0, 2]
 
     d = Zt_ref.shape[0]
     dist2 = jnp.zeros((z_ref.shape[0], Zt_ref.shape[1]), jnp.float32)
     for i in range(d):  # D is small (3): unrolled at trace time
         diff = z_ref[:, i : i + 1] - Zt_ref[i : i + 1, :]
-        dist2 = dist2 + diff * diff
-    inv_ell2 = 1.0 / (ell * ell)
-    k = sf2 * jnp.exp(-0.5 * dist2 * inv_ell2) * mask_ref[0:1, :]
+        # per-dimension reciprocal square lengthscale: ARD costs one extra
+        # scalar multiply per dim (identical scalars for isotropic kernels)
+        dist2 = dist2 + (diff * diff) * hyp_ref[0, 3 + i]
+    k = sf2 * jnp.exp(-0.5 * dist2) * mask_ref[0:1, :]
 
     mean_ref[:, :] = jnp.dot(k, alpha_ref[:, :], preferred_element_type=jnp.float32)
     t = jnp.dot(k, Kinv_ref[:, :], preferred_element_type=jnp.float32)
@@ -74,19 +74,26 @@ def gp_mean_var(
     include_noise: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Posterior mean and variance at N query points, fused on-chip."""
+    """Posterior mean and variance at N query points, fused on-chip.
+
+    `lengthscale` may be a scalar (isotropic) or a (D,) ARD vector — both feed
+    the kernel as D reciprocal squares.
+    """
     n, d = z.shape
     m = Z.shape[0]
-    if jnp.ndim(lengthscale) != 0:
-        raise ValueError(
-            "gp_mean_var supports isotropic (scalar) lengthscales only; use the "
-            "jnp reference path (gp_mean_var_reference) for ARD models"
-        )
     n_pad = (-n) % QUERY_TILE
     z_p = jnp.pad(z.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    hyp = jnp.stack(
-        [lengthscale, outputscale, noise, jnp.asarray(1.0 if include_noise else 0.0)]
-    ).astype(jnp.float32)[None, :]
+    inv_ell2 = jnp.broadcast_to(
+        1.0 / (jnp.asarray(lengthscale) ** 2), (d,)
+    ).astype(jnp.float32)
+    hyp = jnp.concatenate(
+        [
+            jnp.stack(
+                [outputscale, noise, jnp.asarray(1.0 if include_noise else 0.0)]
+            ).astype(jnp.float32),
+            inv_ell2,
+        ]
+    )[None, :]
 
     grid = ((n + n_pad) // QUERY_TILE,)
     mean, var = pl.pallas_call(
@@ -97,7 +104,7 @@ def gp_mean_var(
             pl.BlockSpec((d, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 + d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[

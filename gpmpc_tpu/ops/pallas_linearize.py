@@ -19,10 +19,12 @@ ready to feed `solve_ocp_qp_lanes` with no layout churn in between.
 
 Model-specific by design: the quadrotor attitude dynamics of
 models/quadrotor.py (≙ the reference's symbolic model, crazyflow
-symbolic_attitude) plus the GP residual structure of control/gpmpc.py
-(thrust-magnitude GP rotated by (cphi*sth, -sphi, cphi*cth) + phi/theta rate
-GPs, ≙ /root/reference/gpmpc/gpmpc.py:193-197). Isotropic kernels only; the
-generic path stays `jacfwd`.
+symbolic_attitude) plus the GP residual structure of the quadrotor's
+ResidualSpec (thrust-magnitude GP rotated by (cphi*sth, -sphi, cphi*cth) +
+phi/theta rate GPs, ≙ /root/reference/gpmpc/gpmpc.py:193-197); families
+without a hand-derived kernel (ResidualSpec.supports_kernel_linearize=False)
+stay on `jacfwd`. Isotropic AND ARD lengthscales supported (per-dimension
+reciprocal squares in the hyp rows).
 """
 
 from __future__ import annotations
@@ -55,7 +57,9 @@ def _build_mat(rows, n_cols, L, dtype):
 def _gp_mean_grad(Zs, alpha, inv_ell2, sf2, z):
     """SE posterior mean and d(mean)/dz for one GP, lane-vectorized.
 
-    Zs (Ms, 3), alpha (Ms,), z: tuple of 3 (L,) query components.
+    Zs (Ms, 3), alpha (Ms,), inv_ell2: tuple of 3 per-dimension reciprocal
+    square lengthscales (identical scalars for isotropic kernels — ARD costs
+    one extra scalar multiply per dim), z: tuple of 3 (L,) query components.
     Returns mean (L,), grads tuple of 3 (L,).
     """
     d2 = None
@@ -63,11 +67,12 @@ def _gp_mean_grad(Zs, alpha, inv_ell2, sf2, z):
     for d in range(3):
         diff = Zs[:, d : d + 1] - z[d][None, :]  # (Ms, L)
         diffs.append(diff)
-        d2 = diff * diff if d2 is None else d2 + diff * diff
-    k = sf2 * jnp.exp(-0.5 * d2 * inv_ell2)  # (Ms, L)
+        dd = (diff * diff) * inv_ell2[d]
+        d2 = dd if d2 is None else d2 + dd
+    k = sf2 * jnp.exp(-0.5 * d2)  # (Ms, L)
     ka = k * alpha[:, None]
     mean = jnp.sum(ka, axis=0)
-    grads = tuple(jnp.sum(ka * diffs[d], axis=0) * inv_ell2 for d in range(3))
+    grads = tuple(jnp.sum(ka * diffs[d], axis=0) * inv_ell2[d] for d in range(3))
     return mean, grads
 
 
@@ -75,7 +80,7 @@ def _linearize_kernel_body(
     T: int, dt: float, use_gp: bool,
     # refs
     par_ref,  # (1, 8) plant params [a..l] in SMEM
-    hyp_ref,  # (3, 2) per-GP [inv_ell2, sf2] in SMEM
+    hyp_ref,  # (3, 4) per-GP [sf2, inv_ell2_0, inv_ell2_1, inv_ell2_2] in SMEM
     X_ref,  # (T+1, NX, L)
     U_ref,  # (T, NU, L)
     Zs_ref,  # (3, Ms, 3)
@@ -110,14 +115,15 @@ def _linearize_kernel_body(
             zT = (u0, zero, zero)
             zR = (phi, dphi, u1)
             zP = (theta, dtheta, u2)
+            inv = lambda g: (hyp_ref[g, 1], hyp_ref[g, 2], hyp_ref[g, 3])
             Tp, dT = _gp_mean_grad(
-                Zs_ref[0], alpha_ref[0], hyp_ref[0, 0], hyp_ref[0, 1], zT
+                Zs_ref[0], alpha_ref[0], inv(0), hyp_ref[0, 0], zT
             )
             Rp, dR = _gp_mean_grad(
-                Zs_ref[1], alpha_ref[1], hyp_ref[1, 0], hyp_ref[1, 1], zR
+                Zs_ref[1], alpha_ref[1], inv(1), hyp_ref[1, 0], zR
             )
             Pp, dP = _gp_mean_grad(
-                Zs_ref[2], alpha_ref[2], hyp_ref[2, 0], hyp_ref[2, 1], zP
+                Zs_ref[2], alpha_ref[2], inv(2), hyp_ref[2, 0], zP
             )
             dT0 = dT[0]
         else:
@@ -197,7 +203,7 @@ def _linearize_kernel_body(
 @functools.partial(jax.jit, static_argnames=("dt", "use_gp", "interpret"))
 def linearize_ocp_lanes(
     params8: jax.Array,  # (8,) plant params [a, b, c, d, e, f, h, l]
-    hyp: jax.Array,  # (3, 2) per-GP [1/ell^2, sf2]
+    hyp: jax.Array,  # (3, 4) per-GP [sf2, 1/ell^2 per input dim (ARD or repeated)]
     Zs: jax.Array,  # (3, Ms, 3) mean-inducing inputs
     alpha: jax.Array,  # (3, Ms) mean weights (zero rows inert)
     X: jax.Array,  # (T+1, NX, L) lanes-layout state trajectory
@@ -216,7 +222,7 @@ def linearize_ocp_lanes(
     sm = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     fnext, A, B = pl.pallas_call(
         kernel,
-        in_specs=[sm((1, 8)), sm((3, 2)), vm(), vm(), vm(), vm()],
+        in_specs=[sm((1, 8)), sm((3, 4)), vm(), vm(), vm(), vm()],
         out_specs=[vm(), vm(), vm()],
         out_shape=[
             jax.ShapeDtypeStruct((T, NX, L), f32),

@@ -141,7 +141,7 @@ class LanesLinearizer(NamedTuple):
     quadrotor plant coefficients + GP mean data in kernel-ready form."""
 
     params8: jax.Array  # (8,) [a, b, c, d, e, f, h, l]
-    hyp: jax.Array  # (3, 2) per-GP [1/ell^2, sf2]
+    hyp: jax.Array  # (3, 1+D) per-GP [sf2, 1/ell^2 per dim (ARD or repeated)]
     Zs: jax.Array  # (3, Ms, 3)
     alpha: jax.Array  # (3, Ms)
     use_gp: bool  # static

@@ -230,6 +230,41 @@ class ControlServer:
         with self._stats_lock:  # consistent snapshot vs concurrent _deliver
             return ServerStats(self._n_requests, self._n_batches)
 
+    # -- session checkpoint/restore -----------------------------------------
+
+    def save_sessions(self, path) -> None:
+        """Persist every session's device-side state (warm starts, trajectory
+        clocks, last observations, slot occupancy) plus the serving GP via
+        utils/checkpoint.py — a server restart resumes every control session
+        exactly where it left off (the drone does not care that the server
+        moved hosts). Quiescent by construction: taken under the device lock,
+        so no dispatch is mutating state mid-snapshot."""
+        from gpmpc_tpu.utils.checkpoint import save_pytree
+
+        with self._lock:
+            tree = {"states": self._states, "obs": self._obs, "gp": self._gp}
+            free = list(self._free)
+        save_pytree(path, tree, metadata={"free": free, "tile": self._tile})
+
+    def restore_sessions(self, path) -> None:
+        """Restore a `save_sessions` snapshot into this server (same tile size
+        and GP buffer shapes — enforced by the pytree shape check)."""
+        from gpmpc_tpu.utils.checkpoint import load_metadata, load_pytree
+
+        meta = load_metadata(path)
+        if int(meta["tile"]) != self._tile:
+            raise ValueError(
+                f"snapshot tile {meta['tile']} != server tile {self._tile}"
+            )
+        with self._lock:
+            tree = load_pytree(
+                path, {"states": self._states, "obs": self._obs, "gp": self._gp}
+            )
+            self._states, self._obs, self._gp = (
+                tree["states"], tree["obs"], tree["gp"],
+            )
+            self._free = [int(s) for s in meta["free"]]
+
     # -- serving -----------------------------------------------------------
 
     def step(self, slot: int, obs) -> np.ndarray:
@@ -278,6 +313,7 @@ class ControlServer:
             return None
         batch = [first]
         seen = {first.slot}
+        deferred: list[_Request] = []
         t_end = time.monotonic() + self._max_wait_s
         while len(batch) < self._tile:
             remaining = t_end - time.monotonic()
@@ -293,12 +329,18 @@ class ControlServer:
             if req.slot in seen:
                 # Duplicate-index device scatters have an unspecified winner,
                 # so one batch never carries two requests for one slot: the
-                # second goes to the next dispatch (its x_{k+1} depends on the
-                # first's action anyway).
-                self._queue.put(req)
-                break
+                # second defers to the next dispatch (its x_{k+1} depends on
+                # the first's action anyway). Deferring — rather than breaking
+                # the gather — keeps OTHER sessions' queued requests in this
+                # dispatch (round-2 review: the early break cost throughput
+                # under contention). Re-posted after the drain so the loop
+                # cannot pick the same request up again and spin.
+                deferred.append(req)
+                continue
             seen.add(req.slot)
             batch.append(req)
+        for req in deferred:
+            self._queue.put(req)
         return batch
 
     def _launch(self, batch: list[_Request]):

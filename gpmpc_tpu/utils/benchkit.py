@@ -48,6 +48,7 @@ def synthetic_gp_model(
     n_data: int = 60,
     n_train: int = 30,
     seed: int = 0,
+    ard: bool = False,
 ):
     """Train a GpModel on the synthetic dataset (jitted; cached per shapes)."""
     from gpmpc_tpu.control.gpmpc import pack_training_data, train_gp_models
@@ -56,7 +57,8 @@ def synthetic_gp_model(
     data = pack_training_data(jnp.asarray(x7), jnp.asarray(y3), max_points)
     fit = jax.jit(
         lambda d, k: train_gp_models(
-            d, k, sparse=True, max_inducing=max_inducing, n_train=n_train, lr=0.05
+            d, k, sparse=True, max_inducing=max_inducing, n_train=n_train, lr=0.05,
+            ard=ard,
         )
     )
     return fit(data, jax.random.PRNGKey(seed))

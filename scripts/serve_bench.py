@@ -83,14 +83,22 @@ def main():
     )
     barrier = threading.Barrier(args.clients + 1)
 
+    lat_lock = threading.Lock()
+    latencies_ms: list[float] = []
+
     def client(i):
         sid = server.open_session()
         stream = obs_streams[i % len(obs_streams)]
+        local: list[float] = []
         barrier.wait()  # start together (also absorbs the first-compile cost)
         for k in range(args.steps):
+            t0 = time.perf_counter()
             u = server.step(sid, stream[k])
+            local.append(1e3 * (time.perf_counter() - t0))
             assert np.all(np.isfinite(u))
         server.close_session(sid)
+        with lat_lock:
+            latencies_ms.extend(local)
 
     # Warm the compiled dispatch before timing.
     warm = server.open_session()
@@ -111,6 +119,7 @@ def main():
 
     total = args.clients * args.steps
     stats = type(s1)(s1.n_requests - s0.n_requests, s1.n_batches - s0.n_batches)
+    lat = np.asarray(latencies_ms)
     print(json.dumps({
         "metric": "served_actions_per_sec",
         "value": round(total / wall, 1),
@@ -121,6 +130,11 @@ def main():
         "mean_batch_size": round(stats.mean_batch_size, 2),
         "n_batches": stats.n_batches,
         "mean_dispatch_ms": round(1e3 * wall / stats.n_batches, 3),
+        # Per-request end-to-end latency (enqueue -> action in hand), the
+        # number a control loop actually budgets against — not a projection.
+        "latency_p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_ms": round(float(np.percentile(lat, 95)), 3),
+        "latency_p99_ms": round(float(np.percentile(lat, 99)), 3),
     }))
 
 

@@ -53,6 +53,7 @@ def test_production_solver_meets_1e3_control_rmse():
     assert rmse <= 1e-3, f"control-sequence RMSE {rmse} exceeds the 1e-3 parity bar"
 
 
+@pytest.mark.slow
 def test_lanes_backend_meets_1e3_control_rmse():
     """The Pallas lanes backend against the XLA path over a closed loop."""
     from gpmpc_tpu.control import gpmpc as gpmpc_mod

@@ -13,6 +13,7 @@ import sys
 from pathlib import Path
 
 import yaml
+import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -43,6 +44,7 @@ def latest_save_dir(tmp_path: Path) -> Path:
     return dirs[-1]
 
 
+@pytest.mark.slow
 def test_driver_end_to_end_artifacts_and_summary(tmp_path):
     r = run_driver(tmp_path, ["--epochs", "1"])
     assert r.returncode == 0, r.stderr[-3000:]
@@ -58,6 +60,7 @@ def test_driver_end_to_end_artifacts_and_summary(tmp_path):
     assert (save / "state_trajectories.png").exists()
 
 
+@pytest.mark.slow
 def test_driver_checkpoint_resume_cycle(tmp_path):
     ckpt = tmp_path / "ckpt"
     first = run_driver(tmp_path, ["--epochs", "1", "--checkpoint-dir", str(ckpt)])

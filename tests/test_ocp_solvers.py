@@ -201,6 +201,7 @@ def test_mehrotra_matches_fixed_sigma_solution():
     np.testing.assert_allclose(np.asarray(sol_meh.dx), np.asarray(sol_fix.dx), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mehrotra_fewer_iterations_to_tight_gap():
     """VERDICT item 9 'done' criterion: measured reduction in iterations to
     gap <= 1e-7 vs the fixed sigma=0.2 baseline."""

@@ -114,3 +114,27 @@ def test_batched_prepare_step_matches_vmap_prepare_step():
     got = gpmpc_mod.batched_prepare_step(model, ctrl.consts, gp, states, obs, var_backend="xla")
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_kernel_ard_matches_reference():
+    """(D,) ARD lengthscales through the fused kernel (round-3: ARD on the
+    fast paths — the kernel takes per-dimension reciprocal squares)."""
+    z, Z, alpha, K_inv, _, sf2, noise, mask = make_problem(seed=3)
+    ell = jnp.asarray([0.7, 1.1, 1.6], jnp.float32)
+    # rebuild a consistent K_inv/alpha for the ARD kernel
+    Zn = np.asarray(Z)
+    mask_n = np.asarray(mask)
+    diff = (Zn[:, None, :] - Zn[None, :, :]) / np.asarray(ell)
+    K = 1.3 * np.exp(-0.5 * (diff**2).sum(-1)) * np.outer(mask_n, mask_n)
+    K += np.diag(0.05 * mask_n + (1 - mask_n))
+    K_inv = jnp.asarray(np.linalg.inv(K), jnp.float32)
+    alpha = K_inv @ (jnp.asarray(np.asarray(alpha)))
+    mean_k, var_k = gp_mean_var(
+        z, Z, alpha, K_inv, ell, sf2, noise, mask, include_noise=True, interpret=True
+    )
+    mean_r, var_r = gp_mean_var_reference(
+        z, Z, alpha, K_inv, ell, sf2, noise, mask, include_noise=True
+    )
+    # means reach ~6 here (reused-alpha targets): 5e-4 is ~1e-4 relative
+    np.testing.assert_allclose(np.asarray(mean_k), np.asarray(mean_r), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(var_k), np.asarray(var_r), atol=5e-4)

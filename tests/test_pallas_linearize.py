@@ -9,6 +9,7 @@ from gpmpc_tpu.envs.drone import DroneFigureEightEnv
 from gpmpc_tpu.models.symbolic import symbolic_attitude
 from gpmpc_tpu.ops.pallas_linearize import linearize_ocp_lanes
 from gpmpc_tpu.utils.benchkit import reference_prior_dict, synthetic_gp_model
+import pytest
 
 L = 128
 T = 5
@@ -32,9 +33,11 @@ def make_inputs(seed=0):
 def kernel_args(gp):
     prior = reference_prior_dict()
     params8 = jnp.asarray([prior[k] for k in "abcdefhl"], jnp.float32)
-    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)  # (3,) or (3, D)
     sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
-    hyp = jnp.stack([1.0 / (ell * ell), sf2], axis=1)  # (3, 2)
+    G, D = gp.Zs.shape[0], gp.Zs.shape[-1]
+    inv_ell2 = jnp.broadcast_to((1.0 / (ell * ell)).reshape(G, -1), (G, D))
+    hyp = jnp.concatenate([sf2[:, None], inv_ell2], axis=1)  # (3, 1+D)
     return params8, hyp
 
 
@@ -92,6 +95,7 @@ def test_linearize_lanes_prior_only():
     )
 
 
+@pytest.mark.slow
 def test_fused_lanes_step_matches_standard_lanes_step():
     """batched_select_action_lanes with kernel_linearize=True must match the
     jacfwd-based lanes path on the same batch."""
@@ -125,4 +129,39 @@ def test_fused_lanes_step_matches_standard_lanes_step():
     np.testing.assert_allclose(np.asarray(u_fus), np.asarray(u_std), atol=5e-4)
     np.testing.assert_allclose(
         np.asarray(st_fus.X_warm), np.asarray(st_std.X_warm), atol=5e-3
+    )
+
+
+def test_linearize_lanes_ard_matches_jacfwd():
+    """ARD lengthscales through the in-kernel linearizer (round-3: the fused
+    path no longer falls back to jacfwd for ARD models)."""
+    prior = reference_prior_dict()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    gp = synthetic_gp_model(max_points=32, max_inducing=12, n_data=24, n_train=10,
+                            ard=True)
+    assert gp.hypers.raw_lengthscale.shape == (3, 3)
+    X, U = make_inputs(1)
+
+    params8, hyp = kernel_args(gp)
+    assert hyp.shape == (3, 4)
+    fnext, A, B = linearize_ocp_lanes(
+        params8, hyp, gp.Zs, gp.alpha_s, X, U, dt=0.02, use_gp=True, interpret=True
+    )
+
+    fd = lambda x, u: augmented_fd(model, gp, x, u)
+    fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
+    fd_batch = jax.vmap(jax.vmap(fd))
+    Xb = jnp.moveaxis(X[:-1], -1, 0)
+    Ub = jnp.moveaxis(U, -1, 0)
+    A_ref, B_ref = fd_jac(Xb, Ub)
+    f_ref = fd_batch(Xb, Ub)
+
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(fnext), -1, 0), np.asarray(f_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(A), -1, 0), np.asarray(A_ref), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(B), -1, 0), np.asarray(B_ref), atol=2e-4
     )

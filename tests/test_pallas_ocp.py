@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpmpc_tpu.ops.boxqp import OcpQpData, solve_ocp_qp
+import pytest
+
 from gpmpc_tpu.ops.pallas_ocp import (
     LanesQp,
     solve_ocp_qp_lanes,
@@ -222,6 +224,7 @@ def test_streamed_kernel_T100_matches_boxqp():
     assert du.max() <= 0.3 + 1e-4 and du.min() >= -0.3 - 1e-4
 
 
+@pytest.mark.slow
 def test_lanes_step_T52_uses_streamed_and_matches_xla():
     """Controller-level dispatch: T>50 routes the lanes backend through the
     streaming kernel and still matches the vmapped XLA step."""

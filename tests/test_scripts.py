@@ -4,6 +4,7 @@ import os
 import subprocess
 import sys
 from pathlib import Path
+import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -18,6 +19,7 @@ def run(args, timeout=600):
     )
 
 
+@pytest.mark.slow
 def test_run_multihost_virtual_smoke():
     r = run([
         "scripts/run_multihost.py", "--virtual", "4", "--scenarios", "8",
@@ -27,6 +29,7 @@ def test_run_multihost_virtual_smoke():
     assert '"metric"' in r.stdout and "multihost_4dev" in r.stdout, r.stdout
 
 
+@pytest.mark.slow
 def test_eval_seeds_smoke(tmp_path):
     r = run([
         "scripts/eval_seeds.py", "--fast", "--seeds", "2",
@@ -41,6 +44,7 @@ def test_eval_seeds_smoke(tmp_path):
     assert (stem / "learning_curve_seeds.csv").exists()
 
 
+@pytest.mark.slow
 def test_serve_bench_smoke():
     r = run([
         "scripts/serve_bench.py", "--clients", "3", "--steps", "6",

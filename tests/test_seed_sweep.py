@@ -14,6 +14,7 @@ from gpmpc_tpu.control.gpmpc import GPMPC
 from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams
 from gpmpc_tpu.models.symbolic import symbolic_attitude
 from gpmpc_tpu.parallel.sweep import seed_sweep
+import pytest
 
 PRIOR = {
     "a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
@@ -59,6 +60,7 @@ def test_seed_sweep_shapes_and_baseline():
     assert not np.allclose(alpha[0], alpha[1])
 
 
+@pytest.mark.slow
 def test_seed_sweep_seeds_differ_and_reproduce():
     env_params, model, ctrl = _setup()
     kwargs = dict(
@@ -78,6 +80,7 @@ def test_seed_sweep_seeds_differ_and_reproduce():
     assert not np.allclose(np.asarray(res_a.costs[:, 0]), np.asarray(res_a.costs[:, 1]))
 
 
+@pytest.mark.slow
 def test_seed_sweep_sharded_matches_unsharded():
     from gpmpc_tpu.parallel.mesh import make_mesh
 

@@ -16,6 +16,7 @@ from gpmpc_tpu.control.gpmpc import GPMPC
 from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams
 from gpmpc_tpu.models.symbolic import symbolic_attitude
 from gpmpc_tpu.runtime.server import ControlServer
+import pytest
 
 PRIOR = {
     "a": 12.1432, "b": 1.8118, "c": -72.08, "d": -7.5755,
@@ -51,6 +52,7 @@ def make_server(tile=8, max_wait_ms=50.0):
     return env, model, ctrl, server
 
 
+@pytest.mark.slow
 def test_server_matches_serial_controller():
     env, model, ctrl, server = make_server()
     try:
@@ -272,3 +274,96 @@ def test_step_with_diag_reports_solver_health():
         assert diag["soft_viol"] >= 0.0
     finally:
         server.close()
+
+
+def test_session_checkpoint_restore(tmp_path):
+    """save_sessions/restore_sessions: a new server resumes every session's
+    warm start + trajectory clock exactly (round-3 serving hardening)."""
+    env, model, ctrl, server = make_server(tile=4)
+    obs0 = np.asarray(env.trajectory[0], np.float32)
+    obs1 = np.asarray(env.trajectory[1], np.float32)
+    s_a = server.open_session()
+    s_b = server.open_session()
+    for k, o in enumerate([obs0, obs1, obs0]):
+        server.step(s_a, o + 0.01 * k)
+        server.step(s_b, o - 0.01 * k)
+    server.save_sessions(tmp_path / "sessions")
+    # actions the ORIGINAL server would produce next
+    u_a = server.step(s_a, obs1)
+    u_b = server.step(s_b, obs0)
+    server.close()
+
+    env2, model2, ctrl2, server2 = make_server(tile=4)
+    server2.restore_sessions(tmp_path / "sessions")
+    # same slots are occupied; same next actions
+    with pytest.raises(RuntimeError):
+        for _ in range(5):  # the two restored slots are NOT free
+            server2.open_session()
+    u_a2 = server2.step(s_a, obs1)
+    u_b2 = server2.step(s_b, obs0)
+    np.testing.assert_allclose(u_a2, u_a, atol=1e-6)
+    np.testing.assert_allclose(u_b2, u_b, atol=1e-6)
+    server2.close()
+
+
+def test_session_restore_rejects_tile_mismatch(tmp_path):
+    env, model, ctrl, server = make_server(tile=4)
+    sid = server.open_session()
+    server.step(sid, np.asarray(env.trajectory[0], np.float32))
+    server.save_sessions(tmp_path / "snap")
+    server.close()
+    _, _, _, server8 = make_server(tile=8)
+    with pytest.raises(ValueError, match="tile"):
+        server8.restore_sessions(tmp_path / "snap")
+    server8.close()
+
+
+def test_multi_tile_server_matches_small_tile():
+    """tile=32 server (4x the session capacity of the tile=8 suite default)
+    serves the same actions for the same session histories — capacity is data,
+    not semantics (round-3: >1-lane-tile as a first-class tested path)."""
+    env, model, ctrl, server_small = make_server(tile=8)
+    _, _, _, server_big = make_server(tile=32)
+    obs = np.asarray(env.trajectory[0], np.float32)
+    sid_s = server_small.open_session()
+    sid_b = server_big.open_session()
+    for k in range(3):
+        u_s = server_small.step(sid_s, obs + 0.01 * k)
+        u_b = server_big.step(sid_b, obs + 0.01 * k)
+        np.testing.assert_allclose(u_b, u_s, atol=1e-5)
+    server_small.close()
+    server_big.close()
+
+
+def test_duplicate_slot_requests_do_not_block_others():
+    """Two queued requests for one slot defer the SECOND only — other
+    sessions' requests still ride the same dispatch (round-2 weak item 6:
+    the old early-break deferred everyone behind the duplicate)."""
+    env, model, ctrl, server = make_server(tile=8, max_wait_ms=200.0)
+    obs = np.asarray(env.trajectory[0], np.float32)
+    sids = [server.open_session() for _ in range(3)]
+
+    # Stall the dispatcher with a first wave so a second wave queues up
+    # behind it, including a duplicate for sids[0].
+    results = {}
+
+    def hit(slot, tag, o):
+        results[tag] = server.step(slot, o)
+
+    threads = [threading.Thread(target=hit, args=(sids[0], "a1", obs))]
+    threads += [threading.Thread(target=hit, args=(sids[0], "a2", obs + 0.01))]
+    threads += [
+        threading.Thread(target=hit, args=(sids[i], f"c{i}", obs)) for i in (1, 2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "a request hung: duplicate deferral broke delivery"
+    n_batches = server.stats.n_batches
+    server.close()
+    assert set(results) == {"a1", "a2", "c1", "c2"}
+    for v in results.values():
+        assert np.all(np.isfinite(v))
+    # the duplicate forces at least 2 dispatches; everyone was served
+    assert n_batches >= 2
