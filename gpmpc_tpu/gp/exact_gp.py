@@ -46,9 +46,9 @@ class GPHypers(NamedTuple):
     `raw_lengthscale` is a scalar for the isotropic kernel (the reference's
     RBFKernel default) or shape (D,) for ARD (≙ gpytorch ard_num_dims). The jnp
     kernel call sites broadcast over either shape (with padded input columns the
-    ARD lengthscales of dead dimensions simply receive zero gradient); the fused
-    Pallas posterior kernel (ops/pallas_gp.py) is isotropic-only and rejects
-    (D,) lengthscales explicitly."""
+    ARD lengthscales of dead dimensions simply receive zero gradient); since
+    round 3 the fused Pallas kernels (ops/pallas_gp.py, ops/pallas_linearize.py)
+    take per-dimension reciprocal squares, so ARD rides the fast paths too."""
 
     raw_lengthscale: jax.Array  # scalar or (D,)
     raw_outputscale: jax.Array  # scalar

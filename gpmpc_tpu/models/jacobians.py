@@ -91,8 +91,7 @@ def augmented_jacobians(model, gp, x: jax.Array, u: jax.Array):
     """Continuous Jacobians of prior + GP residual dynamics (control/gpmpc.py::
     gp_residual): analytic kernel-mean gradients instead of 16 jacfwd tangents.
 
-    Isotropic lengthscales only (the reference's kernel); ARD models use the
-    jacfwd path.
+    Isotropic and ARD lengthscales (the kernel-mean gradient handles both).
     """
     A, B = prior_jacobians(model.params, x, u)
 

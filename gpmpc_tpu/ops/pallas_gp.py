@@ -10,13 +10,12 @@ round-trips.
 Uses the explicit K_inv = (K + sigma^2 I)^-1 cache (computed once per GP training,
 ≙ GaussianProcess.compute_covariances at /root/reference/gpmpc/gp.py:43-46).
 
-Wiring status: the controller's tightening path currently computes the same
-K_inv-based variance with a plain jnp einsum inside its vmapped step (XLA fuses
-that well); this standalone fused kernel serves large standalone inference
-workloads (many query points against one GP) and is parity-locked against the
-jnp path by tests/test_pallas_gp.py. It is inference-only (no AD); the
-in-dynamics residual mean keeps the jnp path, which must be differentiable for
-the SQP linearizer.
+Wiring: the batched tightening path routes through this kernel on TPU
+(control/gpmpc.py::batched_variances, backend="pallas"/"auto"); parity vs the
+jnp quadratic form is locked by tests/test_pallas_gp.py. Isotropic AND ARD
+lengthscales (per-dimension reciprocal squares). It is inference-only (no AD);
+the in-dynamics residual mean keeps the jnp path, which must be differentiable
+for the SQP linearizer (or the closed-form kernel in ops/pallas_linearize.py).
 """
 
 from __future__ import annotations

@@ -43,7 +43,7 @@ class SqpConfig(NamedTuple):
     # the fixed count).
     qp_tol: float | None = None
     # Use analytic dynamics Jacobians (models/jacobians.py) instead of jacfwd in
-    # the lanes backend; isotropic-GP models only (falls back otherwise).
+    # the lanes backend; quadrotor models only (other families fall back).
     analytic_jac: bool = False
     # Mehrotra predictor-corrector in the IP QP (both backends): two Riccati
     # sweeps per iteration, per-scenario adaptive centering, fewer iterations to
@@ -51,8 +51,9 @@ class SqpConfig(NamedTuple):
     qp_mehrotra: bool = False
     # Linearize the dynamics inside a lane-packed Pallas kernel
     # (ops/pallas_linearize.py) instead of jacfwd, keeping X/U in lanes layout
-    # across the whole SQP loop. Quadrotor+isotropic-GP models only; other
-    # models fall back to jacfwd automatically.
+    # across the whole SQP loop. Families with a hand-derived kernel only
+    # (ResidualSpec.supports_kernel_linearize — the quadrotor; isotropic and
+    # ARD kernels); other models fall back to jacfwd automatically.
     kernel_linearize: bool = False
     # L1 penalty weight that makes the STATE bounds soft (slack-penalized, the
     # HPIPM bounded-multiplier formulation in ops/boxqp.py) so aggressive

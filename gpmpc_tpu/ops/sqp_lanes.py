@@ -79,6 +79,15 @@ def lanes_horizon_cap(cfg: SqpConfig) -> int:
     return MAX_STREAM_HORIZON_SOFT if cfg.soft_x_penalty is not None else MAX_STREAM_HORIZON
 
 
+def lanes_serves(cfg: SqpConfig, T: int) -> bool:
+    """True iff the lanes backend serves horizon T for this config WITH full
+    semantics (in particular: soft state bounds stay soft). Dispatchers
+    (parallel/batch.py::batched_gpmpc_step) fall back to the XLA backend when
+    this is False instead of accepting the lanes path's hard-bound
+    degradation."""
+    return T <= lanes_horizon_cap(cfg)
+
+
 def _solve_qp_lanes(qp: LanesQp, cfg: SqpConfig, interpret: bool):
     """Dispatch one lane tile to the all-resident or A/B-streaming IP kernel."""
     T = qp.A.shape[0]

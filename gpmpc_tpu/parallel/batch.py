@@ -49,10 +49,14 @@ def batched_gpmpc_step(
     var_bf16 select the tightening-variance path (control/gpmpc.py::
     batched_variances).
     """
-    from gpmpc_tpu.ops.sqp_lanes import MAX_STREAM_HORIZON
+    from gpmpc_tpu.ops.sqp_lanes import lanes_serves
 
     T = consts.mpc.uref.shape[0]
-    if backend == "lanes" and T <= MAX_STREAM_HORIZON:
+    # Dispatch preserves SEMANTICS first: horizons past the lanes cap for this
+    # config (soft state bounds shrink the streamed kernel's budget) take the
+    # XLA path — which supports soft bounds at any horizon — rather than the
+    # lanes path's hard-bound degradation.
+    if backend == "lanes" and lanes_serves(cfg, T):
         return gpmpc_mod.batched_select_action_lanes(
             model, cfg, consts, gp, states, obs,
             var_backend=var_backend, var_bf16=var_bf16,

@@ -25,6 +25,7 @@ Prints one JSON line per case. Results recorded in docs/ROOFLINE.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -64,7 +65,7 @@ def main():
     mats = (np.eye(N) + 0.05 * rng.normal(size=(B, T, N, N))).astype(np.float32)
     useful_flops = 2.0 * B * T * N * N * N * n_chain
 
-    def timed(fn, *args, reps=5):
+    def timed(fn, *args, reps=5, flops=None):
         out = fn(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -76,7 +77,14 @@ def main():
         # inflating a VPU-bound kernel to an impossible 64 TFLOP/s.
         _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
         dt = (time.perf_counter() - t0) / reps
-        return useful_flops / dt / 1e9
+        return (flops if flops is not None else useful_flops) / dt / 1e9
+
+    # BENCH_ROOFLINE_ONLY=vpu_lanes,vpu_lanes_bf16_pair selects rows (the slow
+    # XLA row alone can take minutes through a moody tunnel).
+    only = os.environ.get("BENCH_ROOFLINE_ONLY")
+
+    def want(name):
+        return only is None or name in only.split(",")
 
     def report(name, gflops):
         print(json.dumps({
@@ -93,7 +101,8 @@ def main():
             return 0.5 * jnp.einsum("btij,btjk->btik", acc, acc) + 0.5 * acc
         return jax.lax.fori_loop(0, n_chain, body, x)
 
-    report("xla_batched", timed(xla_chain, jnp.asarray(mats)))
+    if want("xla_batched"):
+        report("xla_batched", timed(xla_chain, jnp.asarray(mats)))
 
     # (b) MXU block-diagonal: scenarios packed 10-per-tile into 128x128 GEMMs.
     n_tiles = B // BLOCKS
@@ -115,7 +124,8 @@ def main():
             return (0.5 * prod + 0.5 * acc) * m[None, None]
         return jax.lax.fori_loop(0, n_chain, body, x)
 
-    report("mxu_blockdiag", timed(mxu_chain, jnp.asarray(packed), jnp.asarray(mask)))
+    if want("mxu_blockdiag"):
+        report("mxu_blockdiag", timed(mxu_chain, jnp.asarray(packed), jnp.asarray(mask)))
 
     # (c) VPU lanes: scenarios on the lane axis, _mm from the production kernel,
     # T independent stages per tile for ILP (the production sweep's shape).
@@ -141,7 +151,88 @@ def main():
         )
         return jax.vmap(call)(x)
 
-    report("vpu_lanes", timed(lanes_chain, jnp.asarray(lanes_mats)))
+    if want("vpu_lanes"):
+        report("vpu_lanes", timed(lanes_chain, jnp.asarray(lanes_mats)))
+
+    # (d)/(e) run the chain as an in-kernel fori_loop (the body traces once —
+    # the (c) kernel's full unroll produces 5,000 traced lane-matmuls whose
+    # bf16 Mosaic relayouts took >20 min to compile). The loop-carried round
+    # adds negligible overhead at this arithmetic intensity.
+
+    # (d) bf16 lane-pairing: 256 scenarios per tile (2 per 32-bit lane slot).
+    # ROOFLINE.md §2 listed this as a declared non-goal for the production
+    # kernel (precision risk in the IP barrier terms); measured here so the
+    # "within a small constant of VPU light" claim rests on a number.
+    L2 = 2 * LANES
+    lanes_mats_bf = np.moveaxis(
+        mats.reshape(B // L2, L2, T, N, N), 1, -1
+    ).astype(jnp.bfloat16)  # (tiles/2, T, N, N, 256)
+
+    def lanes_kernel_bf16(x_ref, o_ref):
+        def round_(i, acc):
+            return jnp.stack(
+                [
+                    (0.5 * _mm(acc[k], acc[k]) + 0.5 * acc[k]).astype(jnp.bfloat16)
+                    for k in range(T)
+                ],
+                axis=0,
+            )
+
+        o_ref[...] = jax.lax.fori_loop(0, n_chain, round_, x_ref[...])
+
+    @jax.jit
+    def lanes_chain_bf16(x):
+        call = pl.pallas_call(
+            lanes_kernel_bf16,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, N, N, L2), jnp.bfloat16),
+        )
+        return jax.vmap(call)(x)
+
+    if want("vpu_lanes_bf16_pair"):
+        report("vpu_lanes_bf16_pair", timed(lanes_chain_bf16, jnp.asarray(lanes_mats_bf)))
+
+    # (e) 16-row re-blocking: embed the 12x12 blocks into 16x16 (identity on
+    # the pad diagonal keeps the chain stable) so every sublane access is
+    # 8-aligned — the other declared non-goal. GFLOP/s still counts only the
+    # USEFUL 12^3 work: if alignment gains beat the (16/12)^3 = 2.37x padding
+    # waste, this row wins over vpu_lanes; if not, the non-goal is data.
+    # Fewer stages per tile: the 16x16 chain's live state at T=25 exceeds the
+    # 16M scoped-VMEM limit (measured 18.53M) — itself half the verdict on
+    # padding: it inflates VMEM pressure 1.78x too.
+    N16 = 16
+    T16 = 12
+    flops16 = 2.0 * B * T16 * N * N * N * n_chain
+    mats16 = np.tile(np.eye(N16, dtype=np.float32), (B, T16, 1, 1))
+    mats16[:, :, :N, :N] = mats[:, :T16]  # 12x12 = I + perturbation; pad diag = I
+    lanes_mats16 = np.moveaxis(
+        mats16.reshape(B // LANES, LANES, T16, N16, N16), 1, -1
+    ).copy()
+
+    def lanes_kernel_16(x_ref, o_ref):
+        def round_(i, acc):
+            return jnp.stack(
+                [0.5 * _mm(acc[k], acc[k]) + 0.5 * acc[k] for k in range(T16)], axis=0
+            )
+
+        o_ref[...] = jax.lax.fori_loop(0, n_chain, round_, x_ref[...])
+
+    @jax.jit
+    def lanes_chain_16(x):
+        call = pl.pallas_call(
+            lanes_kernel_16,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T16, N16, N16, LANES), jnp.float32),
+        )
+        return jax.vmap(call)(x)
+
+    if want("vpu_lanes_pad16"):
+        report(
+            "vpu_lanes_pad16",
+            timed(lanes_chain_16, jnp.asarray(lanes_mats16), flops=flops16),
+        )
 
 
 if __name__ == "__main__":

@@ -35,6 +35,12 @@ def parse_args():
     p.add_argument("--steps", type=int, default=None, help="override episode length")
     p.add_argument("--master-seed", type=int, default=None, help="override config seed")
     p.add_argument("--fast", action="store_true", help="tiny shapes (smoke run)")
+    p.add_argument(
+        "--backend", default="auto", choices=["auto", "lanes", "xla"],
+        help="controller-step backend for every episode: 'lanes' packs the QP "
+        "and tightening into the Pallas lane kernels (per-seed GP algebra runs "
+        "vmapped under XLA); 'auto' picks lanes on TPU",
+    )
     return p.parse_args()
 
 
@@ -78,8 +84,11 @@ def main():
         soft_constraints=g.soft_constraints,
     )
 
+    backend = args.backend
+    if backend == "auto":
+        backend = "lanes" if jax.default_backend() == "tpu" else "xla"
     print(f"seed sweep: {args.seeds} seeds x {n_epochs} epochs x {n_steps} steps "
-          f"({samples} samples/epoch, {gp_iters} GP iters)")
+          f"({samples} samples/epoch, {gp_iters} GP iters, backend={backend})")
     t0 = time.perf_counter()
     res = seed_sweep(
         model, ctrl.cfg, env.p, ctrl.consts, g.prior_params,
@@ -87,7 +96,7 @@ def main():
         samples_per_epoch=samples,
         max_inducing=g.max_gp_samples if g.sparse_gp else cap,
         sparse=g.sparse_gp, gp_iters=gp_iters, gp_lr=gp_lr,
-        master_seed=master_seed,
+        master_seed=master_seed, backend=backend,
     )
     costs = np.asarray(jax.device_get(res.costs))  # (n_epochs+1, S)
     wall = time.perf_counter() - t0

@@ -73,3 +73,48 @@ def test_cartpole_respects_input_bounds():
     lo, hi = cartpole.input_bounds()
     assert float(u[0]) <= float(hi[0]) + 1e-5
     assert float(u[0]) >= float(lo[0]) - 1e-5
+
+
+def test_cartpole_lanes_backend_matches_xla():
+    """nu=1 through the full lane-packed GP-MPC step (the lane-wise Cholesky
+    is n-generic since round 3): lanes backend vs vmapped XLA parity."""
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs import cartpole_env
+
+    envp = cartpole_env.EnvParams.default()._replace(
+        n_steps=64, traj_period_steps=300
+    )
+    traj = cartpole_env.make_trajectory(envp)
+    model = cartpole.symbolic_cartpole(dt=DT)
+    ctrl = GPMPC(
+        model, traj, None, horizon=8, q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+        sparse_gp=True, max_gp_samples=8, seed=0, max_gp_points=32,
+        sqp_iters=2, qp_iters=6,
+        bounds=(cartpole.state_bounds(), cartpole.input_bounds()),
+    )
+    rng = np.random.default_rng(0)
+    ctrl.train_gp(
+        rng.normal(0, 0.2, (16, ctrl.spec.z_dim)).astype(np.float32),
+        rng.normal(0, 0.2, (16, ctrl.spec.num_gps)).astype(np.float32),
+        lr=0.05, iterations=10,
+    )
+    B = 3
+    obs = jnp.asarray(
+        np.asarray(traj[:B]) + 0.02 * rng.normal(size=(B, cartpole.NX)), jnp.float32
+    )
+    states = jax.vmap(lambda _: mpc_mod.init_state(8, cartpole.NX, cartpole.NU))(
+        jnp.arange(B)
+    )
+    u_x, st_x, _ = jax.vmap(
+        lambda s, o: gpmpc_mod.select_action(
+            model, ctrl.cfg, ctrl.consts, ctrl.gp_model, s, o
+        )
+    )(states, obs)
+    u_l, st_l, _ = gpmpc_mod.batched_select_action_lanes(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model, states, obs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_l), np.asarray(u_x), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_l.X_warm), np.asarray(st_x.X_warm), atol=5e-3
+    )

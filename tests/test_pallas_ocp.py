@@ -437,3 +437,74 @@ def test_streamed_soft_T52_matches_boxqp():
     assert np.abs(dx_ref[:, 1:]).max() > 0.3 + 1e-3, "oracle should violate"
     np.testing.assert_allclose(du, du_ref, atol=5e-4)
     np.testing.assert_allclose(dx, dx_ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Cap-boundary matrix (round-3 item 7): one parity test per published lanes
+# horizon cap, importing the caps so the tests track any future change.
+# ---------------------------------------------------------------------------
+from gpmpc_tpu.ops.sqp_lanes import (  # noqa: E402
+    MAX_LANES_HORIZON,
+    MAX_LANES_HORIZON_MEHROTRA,
+    MAX_STREAM_HORIZON,
+    MAX_STREAM_HORIZON_SOFT,
+)
+
+_CAP_CELLS = [
+    # (name, horizon, streamed, mehrotra, soft_rho)
+    ("resident", MAX_LANES_HORIZON, False, False, None),
+    ("resident_mehrotra", MAX_LANES_HORIZON_MEHROTRA, False, True, None),
+    ("streamed", MAX_STREAM_HORIZON, True, False, None),
+    ("streamed_mehrotra", MAX_STREAM_HORIZON, True, True, None),
+    ("streamed_soft", MAX_STREAM_HORIZON_SOFT, True, False, 40.0),
+    ("streamed_soft_mehrotra", MAX_STREAM_HORIZON_SOFT, True, True, 40.0),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,t,streamed,mehrotra,soft", _CAP_CELLS, ids=[c[0] for c in _CAP_CELLS]
+)
+def test_lanes_cap_boundary_parity(name, t, streamed, mehrotra, soft):
+    """Every published horizon cap gets a dedicated parity point AT the cap —
+    cap-boundary configs (e.g. soft+Mehrotra at the soft cap) previously had
+    no coverage, so a regression at the edge of the VMEM budget would surface
+    only on hardware."""
+    d = make_batch(11, t=t, scale=0.25)
+    qp_lanes = to_lanes(d)
+    n_iter = 10
+    solver = solve_ocp_qp_lanes_streamed if streamed else solve_ocp_qp_lanes
+    dx, du, gap = solver(
+        qp_lanes, n_ip=n_iter, mehrotra=mehrotra, soft_rho=soft, interpret=True
+    )
+    assert np.all(np.isfinite(np.asarray(gap)))
+    dx = np.moveaxis(np.asarray(dx), -1, 0)
+    du = np.moveaxis(np.asarray(du), -1, 0)
+    if soft is None:
+        dx_ref, du_ref = reference_solutions(d, n_iter) if not mehrotra else (
+            reference_solutions_soft(d, n_iter, rho=None, mehrotra=True)
+        )
+    else:
+        dx_ref, du_ref = reference_solutions_soft(d, n_iter, rho=soft, mehrotra=mehrotra)
+    # Mehrotra's adaptive centering (sigma = (gap_aff/gap)^3) cubes tiny f32
+    # reduction-order differences between the two implementations, so the
+    # iterate paths drift slightly more at these horizons: observed <=1.6e-3
+    # on <0.4% of elements, pure path noise (both gaps converge).
+    atol = 3e-3 if mehrotra else 7e-4
+    np.testing.assert_allclose(du, du_ref, atol=atol)
+    np.testing.assert_allclose(dx, dx_ref, atol=atol)
+
+
+def test_lanes_dispatch_preserves_soft_semantics():
+    """Past the soft-streamed cap the dispatcher must route to the XLA backend
+    (soft semantics preserved) instead of the lanes hard-bound fallback."""
+    from gpmpc_tpu.ops.sqp import SqpConfig
+    from gpmpc_tpu.ops.sqp_lanes import lanes_serves
+
+    hard = SqpConfig()
+    soft = SqpConfig(soft_x_penalty=50.0)
+    assert lanes_serves(hard, MAX_STREAM_HORIZON)
+    assert not lanes_serves(hard, MAX_STREAM_HORIZON + 1)
+    assert lanes_serves(soft, MAX_STREAM_HORIZON_SOFT)
+    assert not lanes_serves(soft, MAX_STREAM_HORIZON_SOFT + 1)
+    assert not lanes_serves(soft, MAX_STREAM_HORIZON)  # soft shrinks the cap

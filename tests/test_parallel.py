@@ -150,3 +150,39 @@ def test_lanes_episode_randomized_plants():
     )
     assert np.all(np.isfinite(np.asarray(ep.obs)))
     assert not np.allclose(np.asarray(ep.obs[0]), np.asarray(ep.obs[1]))
+
+
+def test_gp_batched_lanes_episode_matches_xla():
+    """Per-scenario GP populations on the lanes backend (round-3 item 2: the
+    QP/tightening kernels serve gp_batched=True; the per-seed GP algebra runs
+    vmapped) must match the XLA population path."""
+    env, model, ctrl = make_ctrl()
+    B = 2
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    # a population: B GP models with different data (fit on different noise)
+    rng = np.random.default_rng(0)
+
+    def fit(seed):
+        c = make_ctrl()[2]
+        r = np.random.default_rng(seed)
+        c.train_gp(r.normal(0, 0.3, (16, 7)).astype(np.float32),
+                   r.normal(0, 0.3, (16, 3)).astype(np.float32),
+                   lr=0.05, iterations=10)
+        return c.gp_model
+
+    gps = [fit(s) for s in (1, 2)]
+    gp_pop = jax.tree.map(lambda *ls: jnp.stack(ls), *gps)
+    ep_x = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, gp_pop, keys, n_steps=3,
+        gp_batched=True,
+    )
+    ep_l = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, gp_pop, keys, n_steps=3,
+        gp_batched=True, backend="lanes", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ep_l.actions), np.asarray(ep_x.actions), atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(ep_l.obs), np.asarray(ep_x.obs), atol=5e-3)
+    # the two scenarios genuinely ran different GPs
+    assert not np.allclose(np.asarray(ep_l.actions[0]), np.asarray(ep_l.actions[1]))
