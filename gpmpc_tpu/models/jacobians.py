@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.models import quadrotor
-from gpmpc_tpu.models.quadrotor import GRAVITY, QuadrotorParams
+from gpmpc_tpu.models.quadrotor import QuadrotorParams
 
 NX, NU = quadrotor.NX, quadrotor.NU
 

@@ -16,7 +16,6 @@ from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from gpmpc_tpu.models import quadrotor
 from gpmpc_tpu.models.quadrotor import QuadrotorParams

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpmpc_tpu.control import mpc as mpc_mod
-from gpmpc_tpu.models import cartpole
 from gpmpc_tpu.models.symbolic import symbolic_attitude
 from gpmpc_tpu.models.trajectory import figure_eight_trajectory
 from gpmpc_tpu.ops.sqp import SqpConfig

@@ -6,7 +6,6 @@ semantics on tiny shapes (CPU): per-seed independence, prior-baseline row,
 dataset accumulation, and that the per-seed GP pytrees really differ.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
