@@ -196,22 +196,29 @@ def make_quad_plots(test_runs, train_runs, trajectory, save_dir: Path):
     plot_runtime(get_runtime(test_runs, train_runs), cumulative_points, fig_dir)
 
 
-def plot_quad_eval(trajectories, reference, dt: float, save_path: Path):
-    """state_trajectories.png: per-state actual-vs-desired panel for one episode."""
+def plot_quad_eval(trajectories, reference, dt: float, save_path: Path,
+                   state_labels=None):
+    """state_trajectories.png: per-state actual-vs-desired panel for one episode.
+
+    `state_labels` defaults to the quadrotor's canonical 12-state list (the
+    reference's plot contract, plotting.py:198-211); other model families pass
+    their own (len == nx) — e.g. ["x", "x_dot", "theta", "theta_dot"] for the
+    cartpole."""
     states = np.asarray(trajectories["obs"])
     inputs = np.asarray(trajectories["action"])
     nx = states.shape[1]
     reference = np.asarray(reference)
     if reference.shape[0] != nx:  # accept (N, nx) layout too
         reference = reference.T
-    assert len(STATE_LABELS) == nx
+    labels = STATE_LABELS if state_labels is None else list(state_labels)
+    assert len(labels) == nx
 
     n = min(len(inputs), len(states))
     times = np.linspace(0.0, dt * n, n)
 
     with _new_figure(Path(save_path) / "state_trajectories.png",
                      nrows=nx, figsize=(8, nx)) as (fig, axes):
-        for k, (ax, label) in enumerate(zip(axes, STATE_LABELS)):
+        for k, (ax, label) in enumerate(zip(axes, labels)):
             ax.plot(times, states[:n, k], label="actual")
             desired = reference[k]
             if desired.shape[0] < n:  # wrap the periodic reference
