@@ -70,7 +70,12 @@ _SHUTDOWN = None  # queue sentinel
 
 # Per-solve diagnostics, in the exact order the dispatch program stacks them —
 # the single definition both the stack and the result dict are built from.
-DIAG_FIELDS = ("qp_gap", "n_iters", "soft_viol")
+# eq_res/stat_res/converged are the round-3 KKT residual telemetry (acados
+# residual semantics, ops/sqp.py::kkt_residuals) — a serving client can see a
+# non-converged solve the same way a local caller sees MpcInfo.converged.
+DIAG_FIELDS = ("qp_gap", "n_iters", "soft_viol", "eq_res", "stat_res", "converged")
+_DIAG_INT = {"n_iters"}
+_DIAG_BOOL = {"converged"}
 
 
 class ControlServer:
@@ -390,7 +395,11 @@ class ControlServer:
             for req, a, d in zip(batch, actions, diags):
                 req.out["action"] = a
                 req.out["diag"] = {
-                    name: (int(v) if name == "n_iters" else float(v))
+                    name: (
+                        int(v) if name in _DIAG_INT
+                        else bool(v) if name in _DIAG_BOOL
+                        else float(v)
+                    )
                     for name, v in zip(DIAG_FIELDS, d)
                 }
                 req.done.set()

@@ -268,10 +268,19 @@ def test_step_with_diag_reports_solver_health():
         obs, _ = env.reset(seed=2)
         u, diag = server.step_with_diag(sid, obs)
         assert np.all(np.isfinite(u))
-        assert set(diag) == {"qp_gap", "n_iters", "soft_viol"}
+        assert set(diag) == {
+            "qp_gap", "n_iters", "soft_viol", "eq_res", "stat_res", "converged"
+        }
         assert diag["qp_gap"] >= 0.0 and np.isfinite(diag["qp_gap"])
         assert diag["n_iters"] >= 1
         assert diag["soft_viol"] >= 0.0
+        # KKT telemetry rides the same fetch; under this suite's tiny
+        # 3-SQP-iteration budget the step criterion may legitimately not
+        # trigger — the point is that the client SEES that, typed correctly.
+        assert isinstance(diag["converged"], bool)
+        if not diag["converged"]:
+            assert diag["n_iters"] == 3  # budget exhausted, reported honestly
+        assert 0.0 <= diag["eq_res"] < 1.0 and np.isfinite(diag["stat_res"])
     finally:
         server.close()
 
