@@ -100,3 +100,47 @@ def test_gp_residual_injects_through_spec():
         off = np.setdiff1d(np.arange(nx), np.asarray(spec.uncertain_dim))
         np.testing.assert_array_equal(res[off], 0.0)
         assert np.any(res[np.asarray(spec.uncertain_dim)] != 0.0)
+
+
+def test_cartpole_tightening_activates_through_spec():
+    """The chance-constraint path consumes CARTPOLE_SPEC's identity
+    var_factors: zero tightening before training, positive on the uncertain
+    rows (and only there at the first propagation step) after."""
+    import jax
+
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC, propagate_constraint_limits
+    from gpmpc_tpu.envs import cartpole_env
+    from gpmpc_tpu.models import cartpole
+
+    envp = cartpole_env.EnvParams.default()._replace(n_steps=64, traj_period_steps=300)
+    traj = cartpole_env.make_trajectory(envp)
+    model = cartpole.symbolic_cartpole(dt=0.02)
+    ctrl = GPMPC(
+        model, traj, None, horizon=8, q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+        sparse_gp=True, max_gp_samples=8, seed=0, max_gp_points=32,
+        sqp_iters=2, qp_iters=5,
+        bounds=(cartpole.state_bounds(), cartpole.input_bounds()),
+    )
+    state = mpc_mod.init_state(8, cartpole.NX, cartpole.NU)
+    # untrained: variance path finite, and the controller gates tightening off
+    t_x, t_u = propagate_constraint_limits(
+        ctrl.consts, ctrl.gp_model, state.X_warm, state.U_warm, CARTPOLE_SPEC
+    )
+    assert np.all(np.isfinite(np.asarray(t_x)))
+
+    rng = np.random.default_rng(0)
+    ctrl.train_gp(rng.normal(0, 0.4, (16, 4)).astype(np.float32),
+                  rng.normal(0, 0.4, (16, 2)).astype(np.float32),
+                  lr=0.05, iterations=20)
+    t_x, t_u = jax.jit(
+        lambda g, X, U: propagate_constraint_limits(ctrl.consts, g, X, U, CARTPOLE_SPEC)
+    )(ctrl.gp_model, state.X_warm, state.U_warm)
+    t_x = np.asarray(t_x)
+    # stage 1 state tightening: positive exactly on the uncertain rows (the
+    # disturbance enters there; positions couple only at later stages)
+    assert np.all(t_x[1][list(CARTPOLE_SPEC.uncertain_dim)] > 0.0)
+    off = np.setdiff1d(np.arange(cartpole.NX), np.asarray(CARTPOLE_SPEC.uncertain_dim))
+    np.testing.assert_allclose(t_x[1][off], 0.0, atol=1e-7)
+    # by the horizon end the uncertainty has propagated into the position rows
+    assert np.all(t_x[-1] > 0.0)
