@@ -54,6 +54,22 @@ class NativeOcpSolver:
             + [ctypes.c_int, ctypes.c_int, ctypes.c_float]
             + [f32p] * 2
         )
+        f64p = ctypes.POINTER(ctypes.c_double)
+        self._lib.gpmpc_native_tighten.restype = None
+        self._lib.gpmpc_native_tighten.argtypes = (
+            [ctypes.c_int, ctypes.c_int]
+            + [f64p] * 11
+            + [ctypes.c_double, ctypes.c_double]
+            + [f64p] * 2
+        )
+        self._lib.gpmpc_native_gpmpc_solve.restype = ctypes.c_int
+        self._lib.gpmpc_native_gpmpc_solve.argtypes = (
+            [f32p, ctypes.c_float, ctypes.c_int, ctypes.c_int]
+            + [f64p] * 4
+            + [f32p] * 10
+            + [ctypes.c_int, ctypes.c_int, ctypes.c_float]
+            + [f32p] * 2
+        )
 
     def mpc_solve(
         self,
@@ -89,6 +105,86 @@ class NativeOcpSolver:
         )
         if status != 0:
             raise RuntimeError(f"native MPC solver failed with status {status}")
+        return X, U
+
+    def tighten(
+        self,
+        X_prev: np.ndarray,  # (T+1, 12) previous solution
+        U_prev: np.ndarray,  # (T, 4)
+        var_Z: np.ndarray,   # (3, Ms, 3)
+        var_mat: np.ndarray,  # (3, Ms, Ms)
+        var_mask: np.ndarray,  # (3, Ms)
+        inv_ell2: np.ndarray,  # (3, 3)
+        sf2: np.ndarray,  # (3,)
+        noise: np.ndarray,  # (3,)
+        Ad: np.ndarray,  # (12, 12)
+        Bd_in: np.ndarray,  # (12, 4)
+        lqr_gain: np.ndarray,  # (4, 12)
+        ppf: float,
+        dt: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Chance-constraint tightenings (t_x (T+1, 12), t_u (T, 4)) from the
+        GP predictive variance along the previous solution — the independent
+        double-precision oracle for control/gpmpc.py::propagate_constraint_limits."""
+        T = U_prev.shape[0]
+        ms = var_Z.shape[1]
+        f64c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        args = [f64c(a) for a in (X_prev, U_prev, var_Z, var_mat, var_mask,
+                                  inv_ell2, sf2, noise, Ad, Bd_in, lqr_gain)]
+        t_x = np.zeros((T + 1, 12), np.float64)
+        t_u = np.zeros((T, 4), np.float64)
+        self._lib.gpmpc_native_tighten(
+            T, ms, *[a.ctypes.data_as(f64p) for a in args],
+            float(ppf), float(dt),
+            t_x.ctypes.data_as(f64p), t_u.ctypes.data_as(f64p),
+        )
+        return t_x, t_u
+
+    def gpmpc_solve(
+        self,
+        params8: np.ndarray,
+        dt: float,
+        gp_Zs: np.ndarray,       # (3, Ms, 3) mean-inducing inputs
+        gp_alpha: np.ndarray,    # (3, Ms)
+        gp_inv_ell2: np.ndarray,  # (3, 3)
+        gp_sf2: np.ndarray,      # (3,)
+        x0: np.ndarray,
+        xref: np.ndarray,  # (T+1, 12)
+        uref: np.ndarray,  # (T, 4)
+        qdiag: np.ndarray,
+        rdiag: np.ndarray,
+        qediag: np.ndarray,
+        lx_stage: np.ndarray, ux_stage: np.ndarray,  # (T+1, 12) tightened boxes
+        lu_stage: np.ndarray, uu_stage: np.ndarray,  # (T, 4)
+        X_warm: np.ndarray,
+        U_warm: np.ndarray,
+        sqp_iters: int = 25,
+        qp_iters: int = 20,
+        step_tol: float = 1e-6,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full GP-MPC solve (GP-augmented dynamics + per-stage tightened
+        bounds) — the external oracle for GPMPC.select_action's solve step."""
+        T = uref.shape[0]
+        ms = gp_Zs.shape[1]
+        f32c = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+        f64c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        X = f32c(X_warm).copy()
+        U = f32c(U_warm).copy()
+        gp_args = [f64c(a) for a in (gp_Zs, gp_alpha, gp_inv_ell2, gp_sf2)]
+        args = [f32c(a) for a in (params8, x0, xref, uref, qdiag, rdiag, qediag,
+                                  lx_stage, ux_stage, lu_stage, uu_stage)]
+        status = self._lib.gpmpc_native_gpmpc_solve(
+            args[0].ctypes.data_as(f32p), dt, T, ms,
+            *[a.ctypes.data_as(f64p) for a in gp_args],
+            *[a.ctypes.data_as(f32p) for a in args[1:]],
+            sqp_iters, qp_iters, step_tol,
+            X.ctypes.data_as(f32p), U.ctypes.data_as(f32p),
+        )
+        if status != 0:
+            raise RuntimeError(f"native GP-MPC solver failed with status {status}")
         return X, U
 
     def solve(

@@ -359,6 +359,116 @@ void quad_rk4_jac(const double* p, const double* x, const double* u, double dt,
   }
 }
 
+// ---------------------------------------------------------------------------
+// GP residual (quadrotor ResidualSpec, mirroring gpmpc_tpu/models/residual.py
+// and control/gpmpc.py::gp_residual): 3 SE-kernel GPs on padded 3-dim input
+// slices [thrust | phi, dphi, phi_cmd | theta, dtheta, theta_cmd], means
+// injected on rows [1, 3, 5, 9, 10] through the world-axis thrust rotation.
+// Independent double-precision implementation — the external oracle for the
+// FULL GP-MPC controller, not just the nominal MPC.
+// ---------------------------------------------------------------------------
+
+struct GpCtx {
+  int ms;                  // inducing-set rows (padded rows carry alpha = 0)
+  const double* Zs;        // (3, ms, 3) mean-inducing inputs
+  const double* alpha;     // (3, ms) posterior mean weights
+  const double* inv_ell2;  // (3, 3) per-dim reciprocal square lengthscales
+  const double* sf2;       // (3,) outputscales
+};
+
+double gp_mean(const GpCtx* g, int gi, const double z[3]) {
+  double s = 0.0;
+  for (int m = 0; m < g->ms; ++m) {
+    double d2 = 0.0;
+    for (int d = 0; d < 3; ++d) {
+      const double diff = g->Zs[(gi * g->ms + m) * 3 + d] - z[d];
+      d2 += diff * diff * g->inv_ell2[gi * 3 + d];
+    }
+    s += g->alpha[gi * g->ms + m] * std::exp(-0.5 * d2);
+  }
+  return g->sf2[gi] * s;
+}
+
+void quad_fc_gp(const double* p, const GpCtx* g, const double* x,
+                const double* u, double* out) {
+  quad_fc(p, x, u, out);
+  if (!g) return;
+  const double zT[3] = {u[0], 0.0, 0.0};
+  const double zR[3] = {x[6], x[9], u[1]};
+  const double zP[3] = {x[7], x[10], u[2]};
+  const double Tp = gp_mean(g, 0, zT);
+  const double Rp = gp_mean(g, 1, zR);
+  const double Pp = gp_mean(g, 2, zP);
+  const double cphi = std::cos(x[6]), sphi = std::sin(x[6]);
+  const double cth = std::cos(x[7]), sth = std::sin(x[7]);
+  out[1] += Tp * cphi * sth;
+  out[3] += -Tp * sphi;
+  out[5] += Tp * cphi * cth;
+  out[9] += Rp;
+  out[10] += Pp;
+}
+
+void quad_rk4_gp(const double* p, const GpCtx* g, const double* x,
+                 const double* u, double dt, double* out) {
+  double k1[NX], k2[NX], k3[NX], k4[NX], tmp[NX];
+  quad_fc_gp(p, g, x, u, k1);
+  for (int i = 0; i < NX; ++i) tmp[i] = x[i] + 0.5 * dt * k1[i];
+  quad_fc_gp(p, g, tmp, u, k2);
+  for (int i = 0; i < NX; ++i) tmp[i] = x[i] + 0.5 * dt * k2[i];
+  quad_fc_gp(p, g, tmp, u, k3);
+  for (int i = 0; i < NX; ++i) tmp[i] = x[i] + dt * k3[i];
+  quad_fc_gp(p, g, tmp, u, k4);
+  for (int i = 0; i < NX; ++i)
+    out[i] = x[i] + dt / 6.0 * (k1[i] + 2 * k2[i] + 2 * k3[i] + k4[i]);
+}
+
+void quad_rk4_jac_gp(const double* p, const GpCtx* g, const double* x,
+                     const double* u, double dt, double* A, double* B) {
+  const double eps = 1e-6;
+  double xp[NX], xm[NX], fp[NX], fm[NX], up[NU], um[NU];
+  for (int j = 0; j < NX; ++j) {
+    std::memcpy(xp, x, sizeof(xp));
+    std::memcpy(xm, x, sizeof(xm));
+    xp[j] += eps;
+    xm[j] -= eps;
+    quad_rk4_gp(p, g, xp, u, dt, fp);
+    quad_rk4_gp(p, g, xm, u, dt, fm);
+    for (int i = 0; i < NX; ++i) A[i * NX + j] = (fp[i] - fm[i]) / (2 * eps);
+  }
+  for (int j = 0; j < NU; ++j) {
+    std::memcpy(up, u, sizeof(up));
+    std::memcpy(um, u, sizeof(um));
+    up[j] += eps;
+    um[j] -= eps;
+    quad_rk4_gp(p, g, x, up, dt, fp);
+    quad_rk4_gp(p, g, x, um, dt, fm);
+    for (int i = 0; i < NX; ++i) B[i * NU + j] = (fp[i] - fm[i]) / (2 * eps);
+  }
+}
+
+// GP predictive variance at one padded 3-dim slice: sf2 - k W k' with
+// k_m = sf2 exp(-0.5 d2_m) mask_m (mirrors gp_variances / GpModel var form).
+double gp_variance(int ms, const double* varZ, const double* varMat,
+                   const double* varMask, const double* inv_ell2, double sf2,
+                   const double z[3], vector<double>& kbuf) {
+  for (int m = 0; m < ms; ++m) {
+    double d2 = 0.0;
+    for (int d = 0; d < 3; ++d) {
+      const double diff = z[d] - varZ[m * 3 + d];
+      d2 += diff * diff * inv_ell2[d];
+    }
+    kbuf[m] = sf2 * std::exp(-0.5 * d2) * varMask[m];
+  }
+  double quad = 0.0;
+  for (int m = 0; m < ms; ++m) {
+    double t = 0.0;
+    for (int n = 0; n < ms; ++n) t += kbuf[n] * varMat[n * ms + m];
+    quad += t * kbuf[m];
+  }
+  const double v = sf2 - quad;
+  return v > 1e-12 ? v : 1e-12;
+}
+
 }  // namespace
 
 extern "C" int gpmpc_native_mpc_solve(
@@ -422,6 +532,200 @@ extern "C" int gpmpc_native_mpc_solve(
             (float)(dt * rdiag_in[i] * (U[k * NU + i] - uref[k * NU + i]));
         lu[k * NU + i] = (float)(lu_in[i] - U[k * NU + i]);
         uu[k * NU + i] = (float)(uu_in[i] - U[k * NU + i]);
+      }
+
+    int st = gpmpc_native_solve_ocp_qp(
+        T, NX, NU, A_f.data(), B_f.data(), r_f.data(), qdiag.data(), qx.data(),
+        rdiag.data(), ru.data(), lx.data(), ux.data(), lu.data(), uu.data(),
+        qp_iters, 1e-1f, 0.2f, 0.995f, dxs.data(), dus.data());
+    if (st != 0) return st;
+
+    double step = 0.0;
+    for (int i = 0; i < NXT; ++i) {
+      X[i] += dxs[i];
+      step = std::max(step, (double)std::abs(dxs[i]));
+    }
+    for (int i = 0; i < NUT; ++i) {
+      U[i] += dus[i];
+      step = std::max(step, (double)std::abs(dus[i]));
+    }
+    for (int i = 0; i < NX; ++i) X[i] = x0[i];
+    if (step < step_tol) break;
+  }
+  for (int i = 0; i < NXT; ++i) X_out[i] = (float)X[i];
+  for (int i = 0; i < NUT; ++i) U_out[i] = (float)U[i];
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Chance-constraint tightening oracle (mirrors control/gpmpc.py::
+// propagate_constraint_limits / tightening_from_variances / the quadrotor
+// spec's disturbance_diagonals): GP predictive variances along the previous
+// solution, rotated into world axes, propagated through the LQR-feedback
+// covariance recursion. Double precision throughout.
+// ---------------------------------------------------------------------------
+extern "C" void gpmpc_native_tighten(
+    int T, int ms,
+    const double* Xp,        // (T+1)*NX previous solution
+    const double* Up,        // T*NU
+    const double* varZ,      // 3*ms*3 variance-form inducing inputs
+    const double* varMat,    // 3*ms*ms variance quadratic form
+    const double* varMask,   // 3*ms
+    const double* inv_ell2,  // 3*3
+    const double* sf2,       // 3
+    const double* noise,     // 3 likelihood noise (softplus'd + 1e-6)
+    const double* Ad,        // NX*NX discrete prior Jacobian
+    const double* Bd_in,     // NX*NU
+    const double* Kg,        // NU*NX LQR ansatz gain
+    double ppf, double dt,
+    double* t_x,             // (T+1)*NX out
+    double* t_u              // T*NU out
+) {
+  constexpr int ND = 5;
+  const int unc[ND] = {1, 3, 5, 9, 10};
+  vector<double> kbuf(ms);
+  vector<double> covd(T * ND);
+  const double dt2 = dt * dt;
+  for (int k = 0; k < T; ++k) {
+    const double* x = Xp + k * NX;
+    const double* u = Up + k * NU;
+    const double zT[3] = {u[0], 0.0, 0.0};
+    const double zR[3] = {x[6], x[9], u[1]};
+    const double zP[3] = {x[7], x[10], u[2]};
+    const double vT = gp_variance(ms, varZ + 0 * ms * 3, varMat + 0 * ms * ms,
+                                  varMask + 0 * ms, inv_ell2 + 0, sf2[0], zT, kbuf);
+    const double vR = gp_variance(ms, varZ + 1 * ms * 3, varMat + 1 * ms * ms,
+                                  varMask + 1 * ms, inv_ell2 + 3, sf2[1], zR, kbuf);
+    const double vP = gp_variance(ms, varZ + 2 * ms * 3, varMat + 2 * ms * ms,
+                                  varMask + 2 * ms, inv_ell2 + 6, sf2[2], zP, kbuf);
+    const double cphi = std::cos(x[6]), sphi = std::sin(x[6]);
+    const double cth = std::cos(x[7]), sth = std::sin(x[7]);
+    const double f_ax = (cphi * sth) * (cphi * sth);
+    const double f_ay = sphi * sphi;
+    const double f_az = (cphi * cth) * (cphi * cth);
+    covd[k * ND + 0] = (f_ax * (vT + noise[0])) * dt2;
+    covd[k * ND + 1] = (f_ay * (vT + noise[0])) * dt2;
+    covd[k * ND + 2] = (f_az * (vT + noise[0])) * dt2;
+    covd[k * ND + 3] = (vR + noise[1]) * dt2;
+    covd[k * ND + 4] = (vP + noise[2]) * dt2;
+  }
+
+  // cov' = A cov A' + A (cov K') B' + B (cov K')' A' + B (K cov K') B' + Bd D Bd'
+  vector<double> cov(NX * NX, 0.0), covxu(NX * NU), covu(NU * NU);
+  vector<double> tmp_xx(NX * NX), tmp_xu(NX * NU), tmp_ux(NU * NX);
+  vector<double> At(NX * NX), Bt(NU * NX), Kt(NX * NU), nextc(NX * NX);
+  transpose(Ad, At.data(), NX, NX);
+  transpose(Bd_in, Bt.data(), NX, NU);
+  transpose(Kg, Kt.data(), NU, NX);
+  for (int k = 0; k < T; ++k) {
+    matmul(cov.data(), Kt.data(), covxu.data(), NX, NX, NU);      // cov K'
+    matmul(Kg, covxu.data(), covu.data(), NU, NX, NU);            // K cov K'
+    for (int i = 0; i < NX; ++i) {
+      const double dgl = cov[i * NX + i];
+      t_x[k * NX + i] = ppf * std::sqrt(dgl > 0.0 ? dgl : 0.0);
+    }
+    for (int i = 0; i < NU; ++i) {
+      const double dgl = covu[i * NU + i];
+      t_u[k * NU + i] = ppf * std::sqrt(dgl > 0.0 ? dgl : 0.0);
+    }
+    // A cov A'
+    matmul(Ad, cov.data(), tmp_xx.data(), NX, NX, NX);
+    matmul(tmp_xx.data(), At.data(), nextc.data(), NX, NX, NX);
+    // A (cov K') B' and its transpose
+    matmul(Ad, covxu.data(), tmp_xu.data(), NX, NX, NU);          // A cov K'
+    vector<double> axu_bt(NX * NX);
+    matmul(tmp_xu.data(), Bt.data(), axu_bt.data(), NX, NU, NX);  // (A cov K') B'
+    for (int i = 0; i < NX; ++i)
+      for (int j = 0; j < NX; ++j)
+        nextc[i * NX + j] += axu_bt[i * NX + j] + axu_bt[j * NX + i];
+    // B (K cov K') B'
+    matmul(Bd_in, covu.data(), tmp_xu.data(), NX, NU, NU);        // B covu
+    vector<double> b_covu_bt(NX * NX);
+    matmul(tmp_xu.data(), Bt.data(), b_covu_bt.data(), NX, NU, NX);
+    for (int i = 0; i < NX * NX; ++i) nextc[i] += b_covu_bt[i];
+    // Bd D Bd' adds D[j] on the uncertain diagonal entries
+    for (int j = 0; j < ND; ++j)
+      nextc[unc[j] * NX + unc[j]] += covd[k * ND + j];
+    cov = nextc;
+  }
+  for (int i = 0; i < NX; ++i) {
+    const double dgl = cov[i * NX + i];
+    t_x[T * NX + i] = ppf * std::sqrt(dgl > 0.0 ? dgl : 0.0);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Full GP-MPC solve: GP-augmented RK4 dynamics (finite-difference Jacobians
+// through the SE-kernel residual) + per-stage (tightened) box bounds + the
+// same Gauss-Newton SQP / interior-point QP as gpmpc_native_mpc_solve. The
+// complete independently-implemented oracle for GPMPC.select_action's solve.
+// ---------------------------------------------------------------------------
+extern "C" int gpmpc_native_gpmpc_solve(
+    const float* params8, float dt, int T, int ms,
+    const double* gp_Zs,       // 3*ms*3
+    const double* gp_alpha,    // 3*ms
+    const double* gp_inv_ell2, // 3*3
+    const double* gp_sf2,      // 3
+    const float* x0,           // NX
+    const float* xref,         // (T+1)*NX
+    const float* uref,         // T*NU
+    const float* qdiag_in,     // NX
+    const float* rdiag_in,     // NU
+    const float* qediag_in,    // NX
+    const float* lx_stage, const float* ux_stage,  // (T+1)*NX per-stage boxes
+    const float* lu_stage, const float* uu_stage,  // T*NU
+    int sqp_iters, int qp_iters, float step_tol,
+    float* X_out,  // (T+1)*NX  in: warm start / out: solution
+    float* U_out   // T*NU
+) {
+  double p[8];
+  for (int i = 0; i < 8; ++i) p[i] = params8[i];
+  GpCtx gp{ms, gp_Zs, gp_alpha, gp_inv_ell2, gp_sf2};
+  const GpCtx* g = ms > 0 ? &gp : nullptr;
+
+  const int NXT = (T + 1) * NX, NUT = T * NU;
+  vector<double> X(NXT), U(NUT);
+  for (int i = 0; i < NXT; ++i) X[i] = X_out[i];
+  for (int i = 0; i < NUT; ++i) U[i] = U_out[i];
+  for (int i = 0; i < NX; ++i) X[i] = x0[i];
+
+  vector<float> qdiag(NXT), qx(NXT), rdiag(NUT), ru(NUT);
+  vector<float> lx(NXT), ux(NXT), lu(NUT), uu(NUT);
+  vector<float> A_f(T * NX * NX), B_f(T * NX * NU), r_f(T * NX);
+  vector<float> dxs(NXT), dus(NUT);
+  double Aj[NX * NX], Bj[NX * NU], fnext[NX];
+
+  for (int it = 0; it < sqp_iters; ++it) {
+    for (int k = 0; k < T; ++k) {
+      quad_rk4_jac_gp(p, g, &X[k * NX], &U[k * NU], dt, Aj, Bj);
+      quad_rk4_gp(p, g, &X[k * NX], &U[k * NU], dt, fnext);
+      for (int i = 0; i < NX * NX; ++i) A_f[k * NX * NX + i] = (float)Aj[i];
+      for (int i = 0; i < NX * NU; ++i) B_f[k * NX * NU + i] = (float)Bj[i];
+      for (int i = 0; i < NX; ++i)
+        r_f[k * NX + i] = (float)(fnext[i] - X[(k + 1) * NX + i]);
+    }
+    for (int k = 0; k <= T; ++k) {
+      const double sc = (k < T) ? dt : 1.0;
+      const float* qd = (k < T) ? qdiag_in : qediag_in;
+      for (int i = 0; i < NX; ++i) {
+        qdiag[k * NX + i] = (float)(sc * qd[i]);
+        qx[k * NX + i] = (float)(sc * qd[i] * (X[k * NX + i] - xref[k * NX + i]));
+        if (k == 0) {  // x0 pinned: disable stage-0 state bounds
+          lx[i] = -1e8f;
+          ux[i] = 1e8f;
+        } else {
+          lx[k * NX + i] = (float)(lx_stage[k * NX + i] - X[k * NX + i]);
+          ux[k * NX + i] = (float)(ux_stage[k * NX + i] - X[k * NX + i]);
+        }
+      }
+    }
+    for (int k = 0; k < T; ++k)
+      for (int i = 0; i < NU; ++i) {
+        rdiag[k * NU + i] = (float)(dt * rdiag_in[i]);
+        ru[k * NU + i] =
+            (float)(dt * rdiag_in[i] * (U[k * NU + i] - uref[k * NU + i]));
+        lu[k * NU + i] = (float)(lu_stage[k * NU + i] - U[k * NU + i]);
+        uu[k * NU + i] = (float)(uu_stage[k * NU + i] - U[k * NU + i]);
       }
 
     int st = gpmpc_native_solve_ocp_qp(

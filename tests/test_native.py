@@ -106,3 +106,114 @@ def test_native_full_mpc_closed_loop_parity(native):
 
     rmse = np.sqrt(np.mean((np.asarray(us_jax) - np.asarray(us_nat)) ** 2))
     assert rmse <= 1e-3, f"native vs JAX full-MPC control RMSE {rmse}"
+
+
+@pytest.mark.slow
+def test_native_full_gpmpc_episode_parity(native):
+    """Round-3: the external oracle covers the FULL GP-MPC controller, not
+    just the nominal MPC. A 300-step closed-loop figure-eight episode with a
+    trained sparse GP: per step the native C++ oracle recomputes the
+    chance-constraint tightening from ITS OWN previous solution (double
+    precision, independent implementation of the variance + covariance
+    recursion) and solves the GP-augmented OCP to full convergence
+    (finite-difference Jacobians through the SE-kernel residual); the
+    production solver (jnp, Mehrotra, production iteration budget) sees the
+    same observations. Control RMSE <= 1e-3 over the whole episode."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs import drone
+    from gpmpc_tpu.models import quadrotor
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.utils.benchkit import (
+        Q_MPC, R_MPC, reference_prior_dict, synthetic_residual_dataset,
+    )
+
+    prior = reference_prior_dict()
+    T_h, n_steps = 25, 300
+    env_p = drone.EnvParams.ideal()
+    env = drone.DroneFigureEightEnv(env_p)
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(
+        model, env.trajectory, prior, horizon=T_h, q_mpc=Q_MPC, r_mpc=R_MPC,
+        sparse_gp=True, max_gp_samples=20, seed=1, max_gp_points=64,
+        sqp_iters=6, qp_iters=10,
+    )
+    ctrl.cfg = ctrl.cfg._replace(qp_mehrotra=True)  # bench numerical settings
+    x7, y3 = synthetic_residual_dataset(48, seed=3)
+    ctrl.train_gp(np.asarray(x7), np.asarray(y3), lr=0.05, iterations=60)
+    gp = ctrl.gp_model
+    prod_step = jax.jit(
+        lambda g, s, o: gpmpc_mod.select_action(model, ctrl.cfg, ctrl.consts, g, s, o)
+    )
+
+    # Extract the GP + consts in oracle form (double precision).
+    ell = np.asarray(jax.nn.softplus(gp.hypers.raw_lengthscale), np.float64)
+    inv_ell2 = np.broadcast_to((1.0 / (ell * ell)).reshape(3, -1), (3, 3))
+    sf2 = np.asarray(jax.nn.softplus(gp.hypers.raw_outputscale), np.float64)
+    noise = np.asarray(jax.nn.softplus(gp.hypers.raw_noise), np.float64) + 1e-6
+    Ad = np.asarray(ctrl.consts.Ad, np.float64)
+    Bd_in = np.asarray(ctrl.consts.Bd_in, np.float64)
+    Kg = np.asarray(ctrl.consts.lqr_gain, np.float64)
+    ppf = float(ctrl.consts.inverse_cdf)
+    dt = float(ctrl.consts.dt)
+    params8 = np.asarray([prior[k] for k in "abcdefhl"], np.float32)
+    qdiag = np.asarray(Q_MPC, np.float32)
+    rdiag = np.asarray(R_MPC, np.float32)
+    s_lo, s_hi = (np.asarray(b, np.float64) for b in quadrotor.state_bounds())
+    u_lo, u_hi = (np.asarray(b, np.float64) for b in quadrotor.input_bounds())
+    uref = np.tile(np.asarray([0.3234, 0, 0, 0], np.float32), (T_h, 1))
+    traj = np.asarray(env.trajectory, np.float32)
+
+    env_state, obs = drone.env_reset(env_p, jax.random.PRNGKey(0))
+    obs_np = np.asarray(obs, np.float32)
+    prod_state = mpc_mod.init_state(T_h, 12, 4)
+    X_warm = np.tile(obs_np[None], (T_h + 1, 1)).astype(np.float32)
+    U_warm = uref.copy()
+
+    u_oracle_all, u_prod_all = [], []
+    for t in range(n_steps):
+        # Oracle-side bound policy, mirroring _bounds_from_tightening: zero
+        # tightening at step 0, 45% feasibility clamp afterwards.
+        if t == 0:
+            t_x = np.zeros((T_h + 1, 12))
+            t_u = np.zeros((T_h, 4))
+        else:
+            t_x, t_u = native.tighten(
+                X_warm.astype(np.float64), U_warm.astype(np.float64),
+                np.asarray(gp.var_Z), np.asarray(gp.var_mat),
+                np.asarray(gp.var_mask), inv_ell2, sf2, noise,
+                Ad, Bd_in, Kg, ppf, dt,
+            )
+            t_x = np.minimum(t_x, 0.45 * (s_hi - s_lo))
+            t_u = np.minimum(t_u, 0.45 * (u_hi - u_lo))
+        lx_s = np.tile(s_lo[None], (T_h + 1, 1)) + t_x
+        ux_s = np.tile(s_hi[None], (T_h + 1, 1)) - t_x
+        lu_s = np.tile(u_lo[None], (T_h, 1)) + t_u
+        uu_s = np.tile(u_hi[None], (T_h, 1)) - t_u
+        xref = np.asarray(
+            traj[(t + np.arange(T_h + 1)) % traj.shape[0]], np.float32
+        )
+        X_warm, U_warm = native.gpmpc_solve(
+            params8, dt, np.asarray(gp.Zs, np.float64),
+            np.asarray(gp.alpha_s, np.float64), inv_ell2, sf2,
+            obs_np, xref, uref, qdiag, rdiag, qdiag,
+            lx_s, ux_s, lu_s, uu_s, X_warm, U_warm,
+            sqp_iters=25, qp_iters=30, step_tol=1e-8,
+        )
+        u_o = U_warm[0]
+        u_p, prod_state, _ = prod_step(gp, prod_state, jnp.asarray(obs_np))
+        u_oracle_all.append(u_o.copy())
+        u_prod_all.append(np.asarray(u_p))
+        env_state, obs, _, _, _ = drone.env_step(env_p, env_state, jnp.asarray(u_o))
+        obs_np = np.asarray(obs, np.float32)
+
+    err = np.asarray(u_oracle_all) - np.asarray(u_prod_all)
+    rmse = float(np.sqrt(np.mean(err**2)))
+    assert rmse <= 1e-3, (
+        f"full-episode GP-MPC control RMSE {rmse:.2e} vs the native oracle "
+        "exceeds the 1e-3 parity bar"
+    )
