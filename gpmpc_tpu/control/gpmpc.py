@@ -719,8 +719,7 @@ def batched_select_action_lanes(
         # lanes layout across SQP iterations (isotropic and ARD kernels).
         from gpmpc_tpu.ops.sqp_lanes import LanesLinearizer, sqp_solve_batch_lanes_fused
 
-        p = model.params
-        params8 = jnp.asarray([p.a, p.b, p.c, p.d, p.e, p.f, p.h, p.l], jnp.float32)
+        params8 = spec.kernel_params(model.params)
         ell = jax.nn.softplus(gp.hypers.raw_lengthscale)  # (G,) or (G, D)
         sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
         G = gp.Zs.shape[0]
@@ -734,6 +733,7 @@ def batched_select_action_lanes(
             Zs=gp.Zs,
             alpha=gp.alpha_s,  # zero for the untrained model -> residual vanishes
             use_gp=True,
+            family=spec.name,
         )
         sol = sqp_solve_batch_lanes_fused(
             lin, model.dt, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret

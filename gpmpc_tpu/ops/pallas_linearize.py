@@ -17,14 +17,19 @@ blocks. One launch linearizes all T stages of a 128-scenario tile:
 
 ready to feed `solve_ocp_qp_lanes` with no layout churn in between.
 
-Model-specific by design: the quadrotor attitude dynamics of
-models/quadrotor.py (≙ the reference's symbolic model, crazyflow
-symbolic_attitude) plus the GP residual structure of the quadrotor's
-ResidualSpec (thrust-magnitude GP rotated by (cphi*sth, -sphi, cphi*cth) +
-phi/theta rate GPs, ≙ /root/reference/gpmpc/gpmpc.py:193-197); families
-without a hand-derived kernel (ResidualSpec.supports_kernel_linearize=False)
-stay on `jacfwd`. Isotropic AND ARD lengthscales supported (per-dimension
-reciprocal squares in the hyp rows).
+The RK4 chain, the SE-kernel mean/gradient block, and the lane-matrix
+assembly are family-generic; only the closed-form continuous dynamics +
+Jacobian closure is hand-derived per model family (`_FAMILY_FC_JAC` registry:
+the quadrotor attitude dynamics of models/quadrotor.py — ≙ the reference's
+symbolic model, crazyflow symbolic_attitude — with the thrust-magnitude GP
+rotated by (cphi*sth, -sphi, cphi*cth) plus phi/theta rate GPs,
+≙ /root/reference/gpmpc/gpmpc.py:193-197; and the cartpole of
+models/cartpole.py with acceleration-residual GPs acting directly on the
+x_dot/theta_dot rows). Families without a registry entry
+(ResidualSpec.supports_kernel_linearize=False) stay on `jacfwd`. Isotropic
+AND ARD lengthscales supported (per-dimension reciprocal squares in the hyp
+rows). Each family's ResidualSpec.kernel_params packs its plant parameters
+into the (8,) SMEM row this kernel reads.
 """
 
 from __future__ import annotations
@@ -76,30 +81,14 @@ def _gp_mean_grad(Zs, alpha, inv_ell2, sf2, z):
     return mean, grads
 
 
-def _linearize_kernel_body(
-    T: int, dt: float, use_gp: bool,
-    # refs
-    par_ref,  # (1, 8) plant params [a..l] in SMEM
-    hyp_ref,  # (3, 4) per-GP [sf2, inv_ell2_0, inv_ell2_1, inv_ell2_2] in SMEM
-    X_ref,  # (T+1, NX, L)
-    U_ref,  # (T, NU, L)
-    Zs_ref,  # (3, Ms, 3)
-    alpha_ref,  # (3, Ms)
-    fnext_ref,  # (T, NX, L) out
-    A_ref,  # (T, NX, NX, L) out
-    B_ref,  # (T, NX, NU, L) out
-):
-    L = X_ref.shape[2]
+def _quad_fc_and_jac(par_ref, hyp_ref, Zs_ref, alpha_ref, use_gp, zero, one):
+    """Closed-form continuous dynamics + Jacobians for the quadrotor family
+    (≙ models/jacobians.py::prior_jacobians + the GP-augmented terms)."""
     f32 = jnp.float32
+    L = zero.shape[0]
     pa, pb = par_ref[0, 0], par_ref[0, 1]
     pc, pd_, pe = par_ref[0, 2], par_ref[0, 3], par_ref[0, 4]
     pf, ph, plc = par_ref[0, 5], par_ref[0, 6], par_ref[0, 7]
-
-    zero = jnp.zeros((L,), f32)
-    one = jnp.ones((L,), f32)
-    eye = jnp.stack(
-        [jnp.stack([one if i == j else zero for j in range(NX)], 0) for i in range(NX)], 0
-    )  # (NX, NX, L)
 
     def fc_and_jac(x, u):
         """Continuous dynamics f (NX, L) + Jacobians Jx (NX,NX,L), Ju (NX,NU,L)."""
@@ -171,6 +160,103 @@ def _linearize_kernel_body(
         }
         return f, _build_mat(jx, NX, L, f32), _build_mat(ju, NU, L, f32)
 
+    return fc_and_jac
+
+
+def _cart_fc_and_jac(par_ref, hyp_ref, Zs_ref, alpha_ref, use_gp, zero, one):
+    """Closed-form continuous dynamics + Jacobians for the cartpole family
+    (models/cartpole.py::continuous_dynamics with the two acceleration-residual
+    GPs of CARTPOLE_SPEC: GP0(x_dot, theta_dot, F) on the x_dot row,
+    GP1(theta, theta_dot, F) on the theta_dot row)."""
+    f32 = jnp.float32
+    L = zero.shape[0]
+    mc, mp, ell = par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]
+    total = mc + mp
+    k_ = mp * ell / total
+
+    def fc_and_jac(x, u):
+        xdot, theta, omega = x[1], x[2], x[3]
+        force = u[0]
+        s, c = jnp.sin(theta), jnp.cos(theta)
+
+        if use_gp:
+            z0 = (xdot, omega, force)
+            z1 = (theta, omega, force)
+            inv = lambda g: (hyp_ref[g, 1], hyp_ref[g, 2], hyp_ref[g, 3])
+            g0, d0 = _gp_mean_grad(Zs_ref[0], alpha_ref[0], inv(0), hyp_ref[0, 0], z0)
+            g1, d1 = _gp_mean_grad(Zs_ref[1], alpha_ref[1], inv(1), hyp_ref[1, 0], z1)
+        else:
+            g0 = g1 = zero
+            d0 = d1 = (zero, zero, zero)
+
+        # Prior accelerations (models/cartpole.py::continuous_dynamics) and
+        # their closed-form partials w.r.t. (theta, omega, force).
+        tmp = (force + mp * ell * omega * omega * s) / total
+        den = ell * (4.0 / 3.0 - mp * c * c / total)
+        num = GRAVITY * s - c * tmp
+        ddth0 = num / den
+        ddx0 = tmp - k_ * ddth0 * c
+
+        dtmp_dth = mp * ell * omega * omega * c / total
+        dtmp_dom = 2.0 * mp * ell * omega * s / total
+        dtmp_dF = one / total
+        dden_dth = 2.0 * ell * mp * c * s / total
+        dnum_dth = GRAVITY * c + s * tmp - c * dtmp_dth
+        dddth_dth = (dnum_dth * den - num * dden_dth) / (den * den)
+        dddth_dom = -c * dtmp_dom / den
+        dddth_dF = -c / (total * den)
+        dddx_dth = dtmp_dth - k_ * (dddth_dth * c - ddth0 * s)
+        dddx_dom = dtmp_dom - k_ * c * dddth_dom
+        dddx_dF = dtmp_dF - k_ * c * dddth_dF
+
+        f = jnp.stack([xdot, ddx0 + g0, omega, ddth0 + g1], axis=0)
+        jx = {
+            (0, 1): one,
+            (1, 1): d0[0],
+            (1, 2): dddx_dth,
+            (1, 3): dddx_dom + d0[1],
+            (2, 3): one,
+            (3, 2): dddth_dth + d1[0],
+            (3, 3): dddth_dom + d1[1],
+        }
+        ju = {
+            (1, 0): dddx_dF + d0[2],
+            (3, 0): dddth_dF + d1[2],
+        }
+        return f, _build_mat(jx, 4, L, f32), _build_mat(ju, 1, L, f32)
+
+    return fc_and_jac
+
+
+# family name (== ResidualSpec.name) -> hand-derived fc+Jacobian closure factory.
+_FAMILY_FC_JAC = {"quadrotor": _quad_fc_and_jac, "cartpole": _cart_fc_and_jac}
+
+
+def _linearize_kernel_body(
+    family: str, T: int, dt: float, use_gp: bool,
+    # refs
+    par_ref,  # (1, 8) plant params in SMEM (family-specific packing)
+    hyp_ref,  # (G, 4) per-GP [sf2, inv_ell2_0, inv_ell2_1, inv_ell2_2] in SMEM
+    X_ref,  # (T+1, nx, L)
+    U_ref,  # (T, nu, L)
+    Zs_ref,  # (G, Ms, 3)
+    alpha_ref,  # (G, Ms)
+    fnext_ref,  # (T, nx, L) out
+    A_ref,  # (T, nx, nx, L) out
+    B_ref,  # (T, nx, nu, L) out
+):
+    nx, L = X_ref.shape[1], X_ref.shape[2]
+    f32 = jnp.float32
+    zero = jnp.zeros((L,), f32)
+    one = jnp.ones((L,), f32)
+    eye = jnp.stack(
+        [jnp.stack([one if i == j else zero for j in range(nx)], 0) for i in range(nx)], 0
+    )  # (nx, nx, L)
+
+    fc_and_jac = _FAMILY_FC_JAC[family](
+        par_ref, hyp_ref, Zs_ref, alpha_ref, use_gp, zero, one
+    )
+
     # Stage loop as fori_loop, NOT a static unroll: unrolling gives Mosaic a
     # scoped-VMEM stack that grows with T (measured 28.6M at T=50 vs the 16M
     # core limit); the looped body holds one stage's temporaries regardless of T.
@@ -200,34 +286,45 @@ def _linearize_kernel_body(
     jax.lax.fori_loop(0, T, stage_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("dt", "use_gp", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dt", "use_gp", "interpret", "family")
+)
 def linearize_ocp_lanes(
-    params8: jax.Array,  # (8,) plant params [a, b, c, d, e, f, h, l]
-    hyp: jax.Array,  # (3, 4) per-GP [sf2, 1/ell^2 per input dim (ARD or repeated)]
-    Zs: jax.Array,  # (3, Ms, 3) mean-inducing inputs
-    alpha: jax.Array,  # (3, Ms) mean weights (zero rows inert)
-    X: jax.Array,  # (T+1, NX, L) lanes-layout state trajectory
-    U: jax.Array,  # (T, NU, L)
+    params8: jax.Array,  # (8,) plant params (family-specific packing)
+    hyp: jax.Array,  # (G, 4) per-GP [sf2, 1/ell^2 per input dim (ARD or repeated)]
+    Zs: jax.Array,  # (G, Ms, 3) mean-inducing inputs
+    alpha: jax.Array,  # (G, Ms) mean weights (zero rows inert)
+    X: jax.Array,  # (T+1, nx, L) lanes-layout state trajectory
+    U: jax.Array,  # (T, nu, L)
     dt: float,
     use_gp: bool = True,
     interpret: bool = False,
+    family: str = "quadrotor",
 ):
     """Linearize all T stages of a lane tile: (fnext, A, B) in lanes layout."""
     Tp1, nx, L = X.shape
     T = Tp1 - 1
+    nu = U.shape[1]
     f32 = jnp.float32
+    if family not in _FAMILY_FC_JAC:
+        raise ValueError(
+            f"no hand-derived kernel linearizer for model family {family!r} "
+            f"(have {sorted(_FAMILY_FC_JAC)}); use the jacfwd/XLA path"
+        )
 
-    kernel = functools.partial(_linearize_kernel_body, T, float(dt), use_gp)
+    kernel = functools.partial(
+        _linearize_kernel_body, family, T, float(dt), use_gp
+    )
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     fnext, A, B = pl.pallas_call(
         kernel,
-        in_specs=[sm((1, 8)), sm((3, 4)), vm(), vm(), vm(), vm()],
+        in_specs=[sm((1, 8)), sm(tuple(hyp.shape)), vm(), vm(), vm(), vm()],
         out_specs=[vm(), vm(), vm()],
         out_shape=[
-            jax.ShapeDtypeStruct((T, NX, L), f32),
-            jax.ShapeDtypeStruct((T, NX, NX, L), f32),
-            jax.ShapeDtypeStruct((T, NX, NU, L), f32),
+            jax.ShapeDtypeStruct((T, nx, L), f32),
+            jax.ShapeDtypeStruct((T, nx, nx, L), f32),
+            jax.ShapeDtypeStruct((T, nx, nu, L), f32),
         ],
         interpret=interpret,
     )(

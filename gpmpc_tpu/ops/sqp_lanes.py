@@ -147,13 +147,14 @@ def _kkt_residuals_lanes(A, Bm, defect, qx, ru, U, lu, uu):
 
 class LanesLinearizer(NamedTuple):
     """Inputs for the in-kernel linearizer (ops/pallas_linearize.py): the
-    quadrotor plant coefficients + GP mean data in kernel-ready form."""
+    family's plant coefficients + GP mean data in kernel-ready form."""
 
-    params8: jax.Array  # (8,) [a, b, c, d, e, f, h, l]
-    hyp: jax.Array  # (3, 1+D) per-GP [sf2, 1/ell^2 per dim (ARD or repeated)]
-    Zs: jax.Array  # (3, Ms, 3)
-    alpha: jax.Array  # (3, Ms)
+    params8: jax.Array  # (8,) family-specific packing (ResidualSpec.kernel_params)
+    hyp: jax.Array  # (G, 1+D) per-GP [sf2, 1/ell^2 per dim (ARD or repeated)]
+    Zs: jax.Array  # (G, Ms, 3)
+    alpha: jax.Array  # (G, Ms)
     use_gp: bool  # static
+    family: str = "quadrotor"  # static; key into pallas_linearize._FAMILY_FC_JAC
 
 
 def sqp_solve_batch_lanes_fused(
@@ -213,7 +214,7 @@ def sqp_solve_batch_lanes_fused(
         X = X.at[0].set(x0_t)
         fnext, A, Bm = linearize_ocp_lanes(
             lin.params8, lin.hyp, lin.Zs, lin.alpha, X, U,
-            dt=dt, use_gp=lin.use_gp, interpret=interpret,
+            dt=dt, use_gp=lin.use_gp, interpret=interpret, family=lin.family,
         )
         defect = fnext - X[1:]
         qx = qdiag_l[0] * (X - xref)
