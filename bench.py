@@ -55,22 +55,52 @@ def main():
     gp_inducing = int(os.environ.get("BENCH_GP_INDUCING", "40"))
     gp_data = int(os.environ.get("BENCH_GP_DATA", str(min(gp_points, 5000))))
 
-    prior_params = reference_prior_dict()
-    env = DroneFigureEightEnv()
-    model = symbolic_attitude(dt=0.02, params=prior_params)
-    ctrl = GPMPC(
-        model, env.trajectory, prior_params, horizon=horizon, q_mpc=Q_MPC, r_mpc=R_MPC,
-        sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
-        max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
-    )
-    # Train the GPs on a synthetic residual dataset at the requested scale so
-    # the bench exercises the real augmented dynamics + tightening path.
-    gp = synthetic_gp_model(
-        max_points=gp_points, max_inducing=gp_inducing,
-        n_data=min(gp_data, gp_points), n_train=50,
-    )
+    # BENCH_MODEL=cartpole benches the second family through the identical
+    # pipeline (fused kernel-linearize lanes path included — the family
+    # registry in ops/pallas_linearize.py); default is the reference's
+    # quadrotor problem.
+    bench_model = os.environ.get("BENCH_MODEL", "quadrotor")
+    if bench_model == "cartpole":
+        from gpmpc_tpu.envs import cartpole_env
+        from gpmpc_tpu.models import cartpole as cartpole_mod
+        from gpmpc_tpu.utils.benchkit import synthetic_cartpole_gp_model
 
-    from gpmpc_tpu.envs import drone
+        env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
+        model = cartpole_mod.symbolic_cartpole(dt=0.02)
+        ctrl = GPMPC(
+            model, env.trajectory, None, horizon=horizon,
+            q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+            sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+            max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
+            bounds=(cartpole_mod.state_bounds(), cartpole_mod.input_bounds()),
+        )
+        gp = synthetic_cartpole_gp_model(
+            max_points=gp_points, max_inducing=gp_inducing,
+            n_data=min(gp_data, gp_points), n_train=50,
+        )
+        env_p = env.p
+        env_step_fn = cartpole_env.env_step
+        env_reset_fn = cartpole_env.env_reset
+    else:
+        prior_params = reference_prior_dict()
+        env = DroneFigureEightEnv()
+        model = symbolic_attitude(dt=0.02, params=prior_params)
+        ctrl = GPMPC(
+            model, env.trajectory, prior_params, horizon=horizon, q_mpc=Q_MPC, r_mpc=R_MPC,
+            sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+            max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
+        )
+        # Train the GPs on a synthetic residual dataset at the requested scale so
+        # the bench exercises the real augmented dynamics + tightening path.
+        gp = synthetic_gp_model(
+            max_points=gp_points, max_inducing=gp_inducing,
+            n_data=min(gp_data, gp_points), n_train=50,
+        )
+        from gpmpc_tpu.envs import drone
+
+        env_p = env.p
+        env_step_fn = drone.env_step
+        env_reset_fn = drone.env_reset
 
     # B=1024 is the measured single-chip throughput sweet spot (87.0k solves/s
     # vs 77.9k at B=512; B=4096 regresses slightly — HBM working set).
@@ -108,8 +138,6 @@ def main():
     # Closed-loop step: controller solve + plant integration, so every timed
     # solve sees a genuinely new observation (honest steady-state MPC load —
     # with early-exit SQP, re-solving an unchanged problem would be free).
-    env_p = env.p
-
     var_backend = os.environ.get("BENCH_VAR_BACKEND", "auto")  # auto | pallas | xla
     var_bf16 = os.environ.get("BENCH_VAR_BF16", "0") == "1"
 
@@ -118,7 +146,7 @@ def main():
             model, ctrl.cfg, consts, gpm, ctrl_states, obs, backend=backend,
             var_backend=var_backend, var_bf16=var_bf16,
         )
-        env_states, obs, _, _, _ = jax.vmap(lambda s, a: drone.env_step(env_p, s, a))(
+        env_states, obs, _, _, _ = jax.vmap(lambda s, a: env_step_fn(env_p, s, a))(
             env_states, u
         )
         return env_states, ctrl_states, obs, u
@@ -156,8 +184,10 @@ def main():
     step = jax.jit(closed_loop_step)
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    env_states, obs = jax.vmap(lambda k: drone.env_reset(env_p, k))(keys)
-    ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(horizon, 12, 4))(jnp.arange(B))
+    env_states, obs = jax.vmap(lambda k: env_reset_fn(env_p, k))(keys)
+    ctrl_states = jax.vmap(
+        lambda _: mpc_mod.init_state(horizon, model.nx, model.nu)
+    )(jnp.arange(B))
 
     # Warm-up: compile + two steps (past the cold-start solve into the
     # warm-started tightening-active regime).
@@ -191,7 +221,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gpmpc_solves_per_sec_1chip",
+                "metric": "gpmpc_solves_per_sec_1chip"
+                + ("" if bench_model == "quadrotor" else f"_{bench_model}"),
                 "value": round(solves_per_sec, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_sec / NORTH_STAR, 4),

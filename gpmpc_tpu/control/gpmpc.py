@@ -803,6 +803,7 @@ class GPMPC:
         ard_gp: bool = False,
         soft_constraints: float | None = None,
         bounds: tuple | None = None,
+        lm_reg: float = 0.0,
     ):
         self.spec = model_spec(symbolic_model)
         if self.spec.name == "quadrotor":
@@ -837,7 +838,7 @@ class GPMPC:
             symbolic_model, traj, q_mpc=q_mpc, r_mpc=r_mpc,
             output_dir=output_dir, horizon=horizon,
             sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan,
-            bounds=bounds,
+            bounds=bounds, lm_reg=lm_reg,
         )
         self.traj = traj
 
@@ -882,7 +883,7 @@ class GPMPC:
         # (MpcInfo.soft_viol) instead of being silently clamped at 45%.
         self.cfg = SqpConfig(
             sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan,
-            soft_x_penalty=soft_constraints,
+            soft_x_penalty=soft_constraints, lm_reg=lm_reg,
         )
         self.gp_model = empty_gp_model(
             self.max_gp_points,

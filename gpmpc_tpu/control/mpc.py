@@ -217,6 +217,7 @@ class MPC:
         qp_iters: int = 15,
         parallel_scan: bool = False,
         bounds: tuple | None = None,
+        lm_reg: float = 0.0,
     ):
         self.model = symbolic_model
         self.T = horizon
@@ -228,7 +229,8 @@ class MPC:
             symbolic_model, self.traj, q_mpc, r_mpc, horizon, bounds=bounds
         )
         self.cfg = SqpConfig(
-            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan
+            sqp_iters=sqp_iters, qp_iters=qp_iters, parallel_scan=parallel_scan,
+            lm_reg=lm_reg,
         )
         self.state = init_state(horizon, symbolic_model.nx, symbolic_model.nu)
         self._step = jax.jit(

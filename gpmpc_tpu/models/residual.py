@@ -252,3 +252,82 @@ CARTPOLE_SPEC = ResidualSpec(
     supports_kernel_linearize=True,
     kernel_params=_cart_kernel_params,
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-link arm (third family: N=3 keeps the spec layer honest; D=4 GP inputs
+# exercise the non-3-dim dispatch of the variance backends)
+# ---------------------------------------------------------------------------
+
+
+# Torque features are scaled into the O(1) range of the angle/rate features
+# (the input box is +-20 Nm): with mixed raw scales the fitted lengthscales
+# collapse along the torque axes and the GP mean surface becomes rugged enough
+# to destabilize the Gauss-Newton SQP (measured: full-step SQP chattered on
+# the rails with raw torques; scaled features converge).
+_TWOLINK_TAU_SCALE = 0.1
+
+
+def _twolink_gp_input(x: jax.Array, u: jax.Array) -> jax.Array:
+    """z = [q1, q2, dq1, dq2, tau1/10, tau2/10]: payload gravity/inertia
+    mismatch acts through the posture (q1, q2) and the torques; joint friction
+    through the joint rates."""
+    from gpmpc_tpu.models import twolink as twolink_mod
+
+    return jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    x[..., twolink_mod.IDX_Q1],
+                    x[..., twolink_mod.IDX_Q2],
+                    x[..., twolink_mod.IDX_DQ1],
+                    x[..., twolink_mod.IDX_DQ2],
+                ],
+                axis=-1,
+            ),
+            _TWOLINK_TAU_SCALE * u[..., :2],
+        ],
+        axis=-1,
+    )
+
+
+def _twolink_mean_rows(preds: jax.Array, z: jax.Array) -> jax.Array:
+    """GPs act directly on the two joint-acceleration rows — no rotation."""
+    return preds
+
+
+def _twolink_var_factors(z: jax.Array) -> jax.Array:
+    eye = jnp.eye(2, dtype=z.dtype)
+    return jnp.broadcast_to(eye, z.shape[:-1] + (2, 2))
+
+
+def _twolink_make_targets(model, x, u, x_next):
+    """Residual targets on the joint-acceleration rows: finite-difference
+    derivative minus the prior (the cartpole recipe at a new family)."""
+    from gpmpc_tpu.models import twolink as twolink_mod
+
+    dt = model.dt
+    x_dot = (x_next - x) / dt
+    f_prior = jax.vmap(model.fc_func)(x, u)
+    rows = jnp.asarray([twolink_mod.IDX_DQ1, twolink_mod.IDX_DQ2])
+    y = (x_dot - f_prior)[:, rows]
+    return _twolink_gp_input(x, u), y
+
+
+TWOLINK_SPEC = ResidualSpec(
+    name="twolink",
+    z_dim=6,
+    # BOTH GPs see the full feature vector: ddq = M(q)^{-1}(tau - C dq - g)
+    # couples every residual row to BOTH torques and BOTH rates through the
+    # inertia-matrix off-diagonal (a tip payload changes m12 too), so slicing
+    # per-joint features — fine for the cartpole — underfits here off-manifold
+    # (measured: per-joint slices made GP-MPC WORSE than the prior; full
+    # features + ARD beat it). D=6 also exercises the non-3-dim dispatch of
+    # the variance backends.
+    gp_idx=((0, 1, 2, 3, 4, 5), (0, 1, 2, 3, 4, 5)),
+    uncertain_dim=(2, 3),
+    gp_input=_twolink_gp_input,
+    mean_rows=_twolink_mean_rows,
+    var_factors=_twolink_var_factors,
+    make_targets=_twolink_make_targets,
+)

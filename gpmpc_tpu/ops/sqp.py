@@ -64,6 +64,15 @@ class SqpConfig(NamedTuple):
     # soft state arrays shrink the streamed kernel's resident budget); beyond
     # that callers fall back to hard bounds + clamp (warned).
     soft_x_penalty: float | None = None
+    # Levenberg-Marquardt regularization (≙ acados
+    # ocp.solver_options.levenberg_marquardt): lm_reg * I is added to the
+    # Gauss-Newton Hessian blocks (NOT the gradient), penalizing step length
+    # toward the current iterate. Full-step GN SQP can limit-cycle on strongly
+    # nonlinear OCPs (measured on the two-link arm with a large learned
+    # residual: step_norm ~6 oscillation from mid-trajectory on); a small
+    # lm_reg restores contraction at negligible per-iteration cost. 0 = off
+    # (acados' default).
+    lm_reg: float = 0.0
     # RTI-style warm-start shift: initialize the SQP from the previous solution
     # advanced by one stage (X[1:] + repeated terminal state) so the warm start
     # is time-aligned with the new problem. The tightening still linearizes
@@ -183,6 +192,14 @@ def sqp_solve(
     term_Q = (cost.scale[-1] * cost.Qe)[None]
     Qxx = jnp.concatenate([stage_Q, term_Q], axis=0)  # (T+1, nx, nx)
     Ruu = cost.scale[:-1, None, None] * cost.R[None]  # (T, nu, nu)
+    # LM damping enters the QP Hessian only — gradients (and the KKT residuals
+    # built from them) stay those of the true cost, so lm_reg changes the step,
+    # never the stationary point (≙ acados levenberg_marquardt).
+    if cfg.lm_reg:
+        Qxx_h = Qxx + cfg.lm_reg * jnp.eye(nx, dtype=dtype)[None]
+        Ruu_h = Ruu + cfg.lm_reg * jnp.eye(U_init.shape[1], dtype=dtype)[None]
+    else:
+        Qxx_h, Ruu_h = Qxx, Ruu
 
     # Pin x0 exactly (≙ lbx = ubx = obs at stage 0, mpc.py:174-175): stage-0 state is
     # not a decision variable, so its delta bounds are disabled.
@@ -210,9 +227,9 @@ def sqp_solve(
             A=A,
             B=B,
             r=defect,
-            Qxx=Qxx,
+            Qxx=Qxx_h,
             qx=qx,
-            Ruu=Ruu,
+            Ruu=Ruu_h,
             ru=ru,
             lx=jnp.concatenate([-big, bounds.lx[1:] - X[1:]], axis=0),
             ux=jnp.concatenate([big, bounds.ux[1:] - X[1:]], axis=0),

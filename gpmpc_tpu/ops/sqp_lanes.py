@@ -219,11 +219,15 @@ def sqp_solve_batch_lanes_fused(
         defect = fnext - X[1:]
         qx = qdiag_l[0] * (X - xref)
         ru = rdiag_l[0] * (U - uref_l[0])
+        # LM damping: Hessian diagonal only, gradient/KKT stay undamped
+        # (ops/sqp.py SqpConfig.lm_reg).
+        qdiag_h = qdiag_l[0] + cfg.lm_reg if cfg.lm_reg else qdiag_l[0]
+        rdiag_h = rdiag_l[0] + cfg.lm_reg if cfg.lm_reg else rdiag_l[0]
         eq, stat = _kkt_residuals_lanes(A, Bm, defect, qx, ru, U, lu, uu)
         lx_d = (lx - X).at[0].set(-big)
         ux_d = (ux - X).at[0].set(big)
         qp = LanesQp(
-            A=A, B=Bm, r=defect, qdiag=qdiag_l[0], qx=qx, rdiag=rdiag_l[0], ru=ru,
+            A=A, B=Bm, r=defect, qdiag=qdiag_h, qx=qx, rdiag=rdiag_h, ru=ru,
             lx=lx_d, ux=ux_d, lu=lu - U, uu=uu - U,
         )
         dx, du, gap = _solve_qp_lanes(qp, cfg, interpret)
@@ -376,9 +380,9 @@ def sqp_solve_batch_lanes(
             A=_to_lane_tiles(pad_b(A), n_tiles, lanes),
             B=_to_lane_tiles(pad_b(Bm), n_tiles, lanes),
             r=_to_lane_tiles(pad_b(defect), n_tiles, lanes),
-            qdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(qdiag[None], (B,) + qdiag.shape)), n_tiles, lanes),
+            qdiag=_to_lane_tiles(pad_b(jnp.broadcast_to((qdiag + cfg.lm_reg)[None], (B,) + qdiag.shape)), n_tiles, lanes),
             qx=_to_lane_tiles(pad_b(qx), n_tiles, lanes),
-            rdiag=_to_lane_tiles(pad_b(jnp.broadcast_to(rdiag[None], (B,) + rdiag.shape)), n_tiles, lanes),
+            rdiag=_to_lane_tiles(pad_b(jnp.broadcast_to((rdiag + cfg.lm_reg)[None], (B,) + rdiag.shape)), n_tiles, lanes),
             ru=_to_lane_tiles(pad_b(ru), n_tiles, lanes),
             lx=_to_lane_tiles(pad_b(lx), n_tiles, lanes),
             ux=_to_lane_tiles(pad_b(ux), n_tiles, lanes),

@@ -62,3 +62,37 @@ def synthetic_gp_model(
         )
     )
     return fit(data, jax.random.PRNGKey(seed))
+
+
+def synthetic_cartpole_gp_model(
+    max_points: int = 128,
+    max_inducing: int = 40,
+    n_data: int = 60,
+    n_train: int = 30,
+    seed: int = 0,
+):
+    """Cartpole GP ensemble (G=2, D=3) on synthetic acceleration residuals —
+    the cartpole analogue of `synthetic_gp_model`, for family-generic benches."""
+    from gpmpc_tpu.control.gpmpc import pack_training_data, train_gp_models
+    from gpmpc_tpu.models.residual import CARTPOLE_SPEC
+
+    rng = np.random.default_rng(seed)
+    xz = np.zeros((n_data, 4), np.float32)  # z = [x_dot, theta, theta_dot, F]
+    xz[:, 0] = rng.normal(0, 0.5, n_data)
+    xz[:, 1] = rng.normal(0, 0.2, n_data)
+    xz[:, 2] = rng.normal(0, 0.5, n_data)
+    xz[:, 3] = rng.uniform(-6.0, 6.0, n_data)
+    y = np.stack(
+        [
+            -0.4 * xz[:, 0] + 0.12 * xz[:, 3] + 0.01 * rng.normal(size=n_data),
+            -0.5 * xz[:, 2] - 0.3 * xz[:, 1] + 0.01 * rng.normal(size=n_data),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    data = pack_training_data(jnp.asarray(xz), jnp.asarray(y), max_points, CARTPOLE_SPEC)
+    fit = jax.jit(
+        lambda d, k: train_gp_models(
+            d, k, sparse=True, max_inducing=max_inducing, n_train=n_train, lr=0.05
+        )
+    )
+    return fit(data, jax.random.PRNGKey(seed))

@@ -14,9 +14,9 @@ import numpy as np
 import pytest
 
 from gpmpc_tpu.control.gpmpc import GPMPC
-from gpmpc_tpu.envs import cartpole_env
+from gpmpc_tpu.envs import cartpole_env, twolink_env
 from gpmpc_tpu.envs.drone import DroneFigureEightEnv, EnvParams as DroneParams
-from gpmpc_tpu.models import cartpole
+from gpmpc_tpu.models import cartpole, twolink
 from gpmpc_tpu.models.symbolic import symbolic_attitude
 
 QUAD_PRIOR = {
@@ -57,7 +57,29 @@ def _cartpole_setup():
     return env, ctrl, 80, 0.6
 
 
-FAMILIES = {"quadrotor": _quadrotor_setup, "cartpole": _cartpole_setup}
+def _twolink_setup():
+    env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
+    model = twolink.symbolic_twolink(dt=0.02)
+    ctrl = GPMPC(
+        model, env.trajectory, None, horizon=20,
+        q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
+        sparse_gp=False, max_gp_samples=40, seed=1, sqp_iters=8, qp_iters=10,
+        max_gp_points=200, ard_gp=True, lm_reg=0.5,
+        bounds=(twolink.state_bounds(), twolink.input_bounds()),
+    )
+    # The hardest of the three: the inertia-coupled residual generalizes less
+    # cleanly off-manifold than the quadrotor/cartpole input-space mismatches,
+    # and without lm_reg the full-step SQP limit-cycles on the GP-augmented
+    # OCP (step_norm ~6 — the motivating case for SqpConfig.lm_reg). Measured
+    # tail ratio ~0.80; 0.92 is margin.
+    return env, ctrl, 150, 0.92
+
+
+FAMILIES = {
+    "quadrotor": _quadrotor_setup,
+    "cartpole": _cartpole_setup,
+    "twolink": _twolink_setup,
+}
 
 
 def _rollout_cost(env, controller, n):
