@@ -55,12 +55,33 @@ def main():
     gp_inducing = int(os.environ.get("BENCH_GP_INDUCING", "40"))
     gp_data = int(os.environ.get("BENCH_GP_DATA", str(min(gp_points, 5000))))
 
-    # BENCH_MODEL=cartpole benches the second family through the identical
-    # pipeline (fused kernel-linearize lanes path included — the family
-    # registry in ops/pallas_linearize.py); default is the reference's
+    # BENCH_MODEL=cartpole|twolink benches the other families through the
+    # identical pipeline (fused kernel-linearize lanes path included — the
+    # family registry in ops/pallas_linearize.py); default is the reference's
     # quadrotor problem.
     bench_model = os.environ.get("BENCH_MODEL", "quadrotor")
-    if bench_model == "cartpole":
+    if bench_model == "twolink":
+        from gpmpc_tpu.envs import twolink_env
+        from gpmpc_tpu.models import twolink as twolink_mod
+        from gpmpc_tpu.utils.benchkit import synthetic_twolink_gp_model
+
+        env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
+        model = twolink_mod.symbolic_twolink(dt=0.02)
+        ctrl = GPMPC(
+            model, env.trajectory, None, horizon=horizon,
+            q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
+            sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+            max_gp_points=gp_points, sqp_iters=6, qp_iters=10, lm_reg=0.5,
+            bounds=(twolink_mod.state_bounds(), twolink_mod.input_bounds()),
+        )
+        gp = synthetic_twolink_gp_model(
+            max_points=gp_points, max_inducing=gp_inducing,
+            n_data=min(gp_data, gp_points), n_train=50,
+        )
+        env_p = env.p
+        env_step_fn = twolink_env.env_step
+        env_reset_fn = twolink_env.env_reset
+    elif bench_model == "cartpole":
         from gpmpc_tpu.envs import cartpole_env
         from gpmpc_tpu.models import cartpole as cartpole_mod
         from gpmpc_tpu.utils.benchkit import synthetic_cartpole_gp_model

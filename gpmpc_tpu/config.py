@@ -52,6 +52,9 @@ class GpMpcSection:
     # bounds; null/None = hard bounds with the 45% feasibility clamp. See
     # ops/boxqp.py (bounded-multiplier IP) and MpcInfo.soft_viol.
     soft_constraints: float | None = None
+    # Levenberg-Marquardt SQP damping (≙ acados levenberg_marquardt): added
+    # to the GN Hessian blocks only; 0 = off. See ops/sqp.py SqpConfig.lm_reg.
+    lm_reg: float = 0.0
 
     def __post_init__(self):
         if self.prior_params is None or any(

@@ -330,4 +330,8 @@ TWOLINK_SPEC = ResidualSpec(
     mean_rows=_twolink_mean_rows,
     var_factors=_twolink_var_factors,
     make_targets=_twolink_make_targets,
+    supports_kernel_linearize=True,
+    kernel_params=lambda p: jnp.asarray(
+        [p.m1, p.m2, p.l1, p.l2, 0.0, 0.0, 0.0, 0.0], jnp.float32
+    ),
 )

@@ -62,14 +62,16 @@ def _build_mat(rows, n_cols, L, dtype):
 def _gp_mean_grad(Zs, alpha, inv_ell2, sf2, z):
     """SE posterior mean and d(mean)/dz for one GP, lane-vectorized.
 
-    Zs (Ms, 3), alpha (Ms,), inv_ell2: tuple of 3 per-dimension reciprocal
+    Zs (Ms, D), alpha (Ms,), inv_ell2: tuple of D per-dimension reciprocal
     square lengthscales (identical scalars for isotropic kernels — ARD costs
-    one extra scalar multiply per dim), z: tuple of 3 (L,) query components.
-    Returns mean (L,), grads tuple of 3 (L,).
+    one extra scalar multiply per dim), z: tuple of D (L,) query components
+    (D = len(z): 3 for the quadrotor/cartpole closures, 6 for the two-link).
+    Returns mean (L,), grads tuple of D (L,).
     """
+    D = len(z)
     d2 = None
     diffs = []
-    for d in range(3):
+    for d in range(D):
         diff = Zs[:, d : d + 1] - z[d][None, :]  # (Ms, L)
         diffs.append(diff)
         dd = (diff * diff) * inv_ell2[d]
@@ -77,7 +79,7 @@ def _gp_mean_grad(Zs, alpha, inv_ell2, sf2, z):
     k = sf2 * jnp.exp(-0.5 * d2)  # (Ms, L)
     ka = k * alpha[:, None]
     mean = jnp.sum(ka, axis=0)
-    grads = tuple(jnp.sum(ka * diffs[d], axis=0) * inv_ell2[d] for d in range(3))
+    grads = tuple(jnp.sum(ka * diffs[d], axis=0) * inv_ell2[d] for d in range(D))
     return mean, grads
 
 
@@ -228,8 +230,119 @@ def _cart_fc_and_jac(par_ref, hyp_ref, Zs_ref, alpha_ref, use_gp, zero, one):
     return fc_and_jac
 
 
+def _twolink_fc_and_jac(par_ref, hyp_ref, Zs_ref, alpha_ref, use_gp, zero, one):
+    """Closed-form continuous dynamics + Jacobians for the two-link arm
+    (models/twolink.py::continuous_dynamics, uniform-rod 2R manipulator with
+    the TWOLINK_SPEC full-feature acceleration-residual GPs; both GPs see
+    z = [q1, q2, dq1, dq2, tau1/10, tau2/10])."""
+    f32 = jnp.float32
+    L = zero.shape[0]
+    m1, m2, l1, l2 = par_ref[0, 0], par_ref[0, 1], par_ref[0, 2], par_ref[0, 3]
+    lc1, lc2 = 0.5 * l1, 0.5 * l2
+    i1, i2 = m1 * l1 * l1 / 12.0, m2 * l2 * l2 / 12.0
+    k1c = i1 + i2 + m1 * lc1 * lc1 + m2 * (l1 * l1 + lc2 * lc2)  # m11 const part
+    k2c = i2 + m2 * lc2 * lc2  # m12 const part == m22
+    a_ = m2 * l1 * lc2
+    g1c = (m1 * lc1 + m2 * l1) * GRAVITY
+    g2c = m2 * lc2 * GRAVITY
+    tau_scale = 0.1  # ≙ models/residual.py::_TWOLINK_TAU_SCALE
+
+    def fc_and_jac(x, u):
+        q1, q2, dq1, dq2 = x[0], x[1], x[2], x[3]
+        t1, t2 = u[0], u[1]
+        c2, s2 = jnp.cos(q2), jnp.sin(q2)
+        c12, s12 = jnp.cos(q1 + q2), jnp.sin(q1 + q2)
+
+        if use_gp:
+            z = (q1, q2, dq1, dq2, tau_scale * t1, tau_scale * t2)
+            inv = lambda g: tuple(hyp_ref[g, 1 + d] for d in range(6))
+            g0, d0 = _gp_mean_grad(Zs_ref[0], alpha_ref[0], inv(0), hyp_ref[0, 0], z)
+            g1p, d1 = _gp_mean_grad(Zs_ref[1], alpha_ref[1], inv(1), hyp_ref[1, 0], z)
+        else:
+            g0 = g1p = zero
+            d0 = d1 = (zero,) * 6
+
+        m11 = k1c + 2.0 * a_ * c2
+        m12 = k2c + a_ * c2
+        m22 = k2c * one  # (L,) for uniform broadcasting below
+        h = a_ * s2
+        gg1 = g1c * jnp.cos(q1) + g2c * c12
+        gg2 = g2c * c12
+        c1 = -h * dq2 * (2.0 * dq1 + dq2)
+        c2v = h * dq1 * dq1
+        r1 = t1 - c1 - gg1
+        r2 = t2 - c2v - gg2
+        det = m11 * m22 - m12 * m12
+        num1 = m22 * r1 - m12 * r2
+        num2 = m11 * r2 - m12 * r1
+        ddq1 = num1 / det
+        ddq2 = num2 / det
+
+        # Partials. q2 moves the mass matrix; everything else only moves r.
+        dm11 = -2.0 * a_ * s2
+        dm12 = -a_ * s2
+        dh = a_ * c2
+        ddet = dm11 * m22 - 2.0 * m12 * dm12
+        dg1_q1 = -g1c * jnp.sin(q1) - g2c * s12
+        dg_q2 = -g2c * s12  # = dg1/dq2 = dg2/dq2 = dg2/dq1
+        dc1_q2 = -dh * dq2 * (2.0 * dq1 + dq2)
+        dc1_dq1 = -2.0 * h * dq2
+        dc1_dq2 = -2.0 * h * (dq1 + dq2)
+        dc2_q2 = dh * dq1 * dq1
+        dc2_dq1 = 2.0 * h * dq1
+
+        dr1 = {  # dr1/dp for p in q1, q2, dq1, dq2, t1, t2
+            "q1": -dg1_q1, "q2": -dc1_q2 - dg_q2,
+            "dq1": -dc1_dq1, "dq2": -dc1_dq2, "t1": one, "t2": zero,
+        }
+        dr2 = {
+            "q1": -dg_q2, "q2": -dc2_q2 - dg_q2,
+            "dq1": -dc2_dq1, "dq2": zero, "t1": zero, "t2": one,
+        }
+
+        def dd1(p):  # d(ddq1)/dp, mass matrix fixed
+            return (m22 * dr1[p] - m12 * dr2[p]) / det
+
+        def dd2(p):
+            return (m11 * dr2[p] - m12 * dr1[p]) / det
+
+        # q2: quotient rule with moving mass matrix
+        dnum1_q2 = m22 * dr1["q2"] - dm12 * r2 - m12 * dr2["q2"]
+        dnum2_q2 = dm11 * r2 + m11 * dr2["q2"] - dm12 * r1 - m12 * dr1["q2"]
+        dd1_q2 = (dnum1_q2 * det - num1 * ddet) / (det * det)
+        dd2_q2 = (dnum2_q2 * det - num2 * ddet) / (det * det)
+
+        f = jnp.stack([dq1, dq2, ddq1 + g0, ddq2 + g1p], axis=0)
+        ts = tau_scale
+        jx = {
+            (0, 2): one,
+            (1, 3): one,
+            (2, 0): dd1("q1") + d0[0],
+            (2, 1): dd1_q2 + d0[1],
+            (2, 2): dd1("dq1") + d0[2],
+            (2, 3): dd1("dq2") + d0[3],
+            (3, 0): dd2("q1") + d1[0],
+            (3, 1): dd2_q2 + d1[1],
+            (3, 2): dd2("dq1") + d1[2],
+            (3, 3): dd2("dq2") + d1[3],
+        }
+        ju = {
+            (2, 0): dd1("t1") + ts * d0[4],
+            (2, 1): dd1("t2") + ts * d0[5],
+            (3, 0): dd2("t1") + ts * d1[4],
+            (3, 1): dd2("t2") + ts * d1[5],
+        }
+        return f, _build_mat(jx, 4, L, f32), _build_mat(ju, 2, L, f32)
+
+    return fc_and_jac
+
+
 # family name (== ResidualSpec.name) -> hand-derived fc+Jacobian closure factory.
-_FAMILY_FC_JAC = {"quadrotor": _quad_fc_and_jac, "cartpole": _cart_fc_and_jac}
+_FAMILY_FC_JAC = {
+    "quadrotor": _quad_fc_and_jac,
+    "cartpole": _cart_fc_and_jac,
+    "twolink": _twolink_fc_and_jac,
+}
 
 
 def _linearize_kernel_body(

@@ -96,3 +96,36 @@ def synthetic_cartpole_gp_model(
         )
     )
     return fit(data, jax.random.PRNGKey(seed))
+
+
+def synthetic_twolink_gp_model(
+    max_points: int = 128,
+    max_inducing: int = 40,
+    n_data: int = 60,
+    n_train: int = 30,
+    seed: int = 0,
+):
+    """Two-link GP ensemble (G=2, D=6) on synthetic acceleration residuals."""
+    from gpmpc_tpu.control.gpmpc import pack_training_data, train_gp_models
+    from gpmpc_tpu.models.residual import TWOLINK_SPEC
+
+    rng = np.random.default_rng(seed)
+    xz = np.zeros((n_data, 6), np.float32)  # z = [q1, q2, dq1, dq2, t1/10, t2/10]
+    xz[:, 0] = rng.uniform(-2.0, 0.0, n_data)
+    xz[:, 1] = rng.uniform(0.0, 1.5, n_data)
+    xz[:, 2:4] = rng.normal(0, 0.5, (n_data, 2))
+    xz[:, 4:] = rng.uniform(-1.0, 1.0, (n_data, 2))
+    y = np.stack(
+        [
+            1.5 + 0.4 * np.sin(xz[:, 1]) + 0.8 * xz[:, 4] + 0.01 * rng.normal(size=n_data),
+            -9.0 - 0.5 * xz[:, 2] + 0.6 * xz[:, 5] + 0.01 * rng.normal(size=n_data),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    data = pack_training_data(jnp.asarray(xz), jnp.asarray(y), max_points, TWOLINK_SPEC)
+    fit = jax.jit(
+        lambda d, k: train_gp_models(
+            d, k, sparse=True, max_inducing=max_inducing, n_train=n_train, lr=0.05
+        )
+    )
+    return fit(data, jax.random.PRNGKey(seed))

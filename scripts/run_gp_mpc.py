@@ -260,6 +260,7 @@ def run():
         qp_iters=g.qp_iters,
         parallel_scan=g.parallel_scan,
         soft_constraints=g.soft_constraints,
+        lm_reg=g.lm_reg,
     )
 
     train_runs, test_runs = learn(

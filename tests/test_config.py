@@ -47,3 +47,11 @@ def test_validation_errors():
         Config.from_dict({"gpmpc": {"prior_params": {"c": 1.0}}})
     with pytest.raises(AssertionError):
         Config.from_dict({"gpmpc": {"q_mpc": [1, 2, 3]}})
+
+
+def test_lm_reg_key_parses():
+    cfg = Config.from_dict(
+        {"gpmpc": {"prior_params": {"a": 1.0, "b": 2.0}, "lm_reg": 0.5}}
+    )
+    assert cfg.gpmpc.lm_reg == 0.5
+    assert Config.from_dict({}).gpmpc.lm_reg == 0.0

@@ -300,3 +300,123 @@ def test_fused_lanes_step_matches_standard_lanes_step_cartpole():
     np.testing.assert_allclose(
         np.asarray(st_fus.X_warm), np.asarray(st_std.X_warm), atol=5e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-link arm family (D=6 GP inputs through the generic _gp_mean_grad)
+# ---------------------------------------------------------------------------
+
+
+def twolink_gp(seed=0, n_data=24):
+    """Train a small two-link GP ensemble (G=2, D=6) on synthetic residuals."""
+    from gpmpc_tpu.control.gpmpc import pack_training_data, train_gp_models
+    from gpmpc_tpu.models.residual import TWOLINK_SPEC
+
+    rng = np.random.default_rng(seed)
+    xz = rng.normal(0, 0.4, (n_data, 6)).astype(np.float32)
+    y = np.stack(
+        [
+            0.5 * np.sin(xz[:, 1]) + 0.3 * xz[:, 4],
+            -0.6 * xz[:, 0] + 0.2 * np.cos(xz[:, 3]) + 0.2 * xz[:, 5],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    data = pack_training_data(jnp.asarray(xz), jnp.asarray(y), 32, TWOLINK_SPEC)
+    fit = jax.jit(
+        lambda d, k: train_gp_models(
+            d, k, sparse=True, max_inducing=10, n_train=10, lr=0.05
+        )
+    )
+    return fit(data, jax.random.PRNGKey(seed))
+
+
+def test_linearize_lanes_twolink_matches_jacfwd():
+    """Third family registry closure vs jacfwd through the jnp GP-augmented
+    two-link dynamics."""
+    from gpmpc_tpu.models.twolink import symbolic_twolink
+    from gpmpc_tpu.models.residual import TWOLINK_SPEC
+
+    model = symbolic_twolink(dt=0.02)
+    gp = twolink_gp(0)
+    assert gp.Zs.shape[0] == 2 and gp.Zs.shape[-1] == 6
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(
+        np.stack([
+            rng.uniform(-2.0, 0.2, (T + 1, L)),
+            rng.uniform(-0.4, 1.8, (T + 1, L)),
+            rng.normal(0, 0.8, (T + 1, L)),
+            rng.normal(0, 0.8, (T + 1, L)),
+        ], axis=1).astype(np.float32))
+    U = jnp.asarray(rng.uniform(-12.0, 12.0, (T, 2, L)).astype(np.float32))
+
+    params8 = TWOLINK_SPEC.kernel_params(model.params)
+    ell = jax.nn.softplus(gp.hypers.raw_lengthscale)
+    sf2 = jax.nn.softplus(gp.hypers.raw_outputscale)
+    G, D = gp.Zs.shape[0], gp.Zs.shape[-1]
+    inv_ell2 = jnp.broadcast_to((1.0 / (ell * ell)).reshape(G, -1), (G, D))
+    hyp = jnp.concatenate([sf2[:, None], inv_ell2], axis=1)
+    assert hyp.shape == (2, 7)
+
+    fnext, A, B = linearize_ocp_lanes(
+        params8, hyp, gp.Zs, gp.alpha_s, X, U, dt=0.02, use_gp=True,
+        interpret=True, family="twolink",
+    )
+
+    fd = lambda x, u: augmented_fd(model, gp, x, u)
+    fd_jac = jax.vmap(jax.vmap(jax.jacfwd(fd, argnums=(0, 1))))
+    fd_batch = jax.vmap(jax.vmap(fd))
+    Xb = jnp.moveaxis(X[:-1], -1, 0)  # (L, T, 4)
+    Ub = jnp.moveaxis(U, -1, 0)
+    A_ref, B_ref = fd_jac(Xb, Ub)
+    f_ref = fd_batch(Xb, Ub)
+
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(fnext), -1, 0), np.asarray(f_ref), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(A), -1, 0), np.asarray(A_ref), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(B), -1, 0), np.asarray(B_ref), atol=5e-4
+    )
+
+
+@pytest.mark.slow
+def test_fused_lanes_step_matches_standard_lanes_step_twolink():
+    """kernel_linearize=True on the TWOLINK family must match the jacfwd-based
+    lanes path — all three families ride the fused fast path."""
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs import twolink_env
+    from gpmpc_tpu.models import twolink
+
+    env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
+    model = twolink.symbolic_twolink(dt=0.02)
+    ctrl = GPMPC(
+        model, env.trajectory, None, horizon=6,
+        q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
+        sparse_gp=True, max_gp_samples=10, seed=0, max_gp_points=32,
+        sqp_iters=3, qp_iters=6, lm_reg=0.5,
+        bounds=(twolink.state_bounds(), twolink.input_bounds()),
+    )
+    gp = twolink_gp(0)
+    B = 4
+    rng = np.random.default_rng(0)
+    obs = jnp.asarray(
+        np.asarray(env.trajectory[:B]) + 0.01 * rng.normal(size=(B, 4)), jnp.float32
+    )
+    states = jax.vmap(lambda i: mpc_mod.init_state(6, 4, 2))(jnp.arange(B))
+
+    cfg_std = ctrl.cfg
+    cfg_fused = ctrl.cfg._replace(kernel_linearize=True)
+    u_std, st_std, info_std = gpmpc_mod.batched_select_action_lanes(
+        model, cfg_std, ctrl.consts, gp, states, obs, interpret=True
+    )
+    u_fus, st_fus, info_fus = gpmpc_mod.batched_select_action_lanes(
+        model, cfg_fused, ctrl.consts, gp, states, obs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(u_fus), np.asarray(u_std), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_fus.X_warm), np.asarray(st_std.X_warm), atol=5e-3
+    )
