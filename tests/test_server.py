@@ -376,3 +376,43 @@ def test_duplicate_slot_requests_do_not_block_others():
         assert np.all(np.isfinite(v))
     # the duplicate forces at least 2 dispatches; everyone was served
     assert n_batches >= 2
+
+
+@pytest.mark.slow
+def test_server_serves_nonquadrotor_family():
+    """The serving runtime is family-generic: cartpole sessions through the
+    same ControlServer match the serial functional controller."""
+    from gpmpc_tpu.envs import cartpole_env
+    from gpmpc_tpu.models import cartpole
+    from tests.test_pallas_linearize import cartpole_gp
+
+    env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
+    model = cartpole.symbolic_cartpole(dt=0.02)
+    ctrl = GPMPC(
+        model, env.trajectory, None, horizon=6,
+        q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+        sparse_gp=True, max_gp_samples=10, seed=0, max_gp_points=32,
+        sqp_iters=3, qp_iters=5,
+        bounds=(cartpole.state_bounds(), cartpole.input_bounds()),
+    )
+    gp = cartpole_gp(0)
+    server = ControlServer(
+        model, ctrl.cfg, ctrl.consts, gp, tile=8, backend="xla", max_wait_ms=50.0
+    )
+    try:
+        sid = server.open_session()
+        obs, _ = env.reset(seed=3)
+        obs_seq, act_seq = [np.asarray(obs)], []
+        for _ in range(6):
+            u = server.step(sid, obs)
+            act_seq.append(np.asarray(u))
+            obs, *_ = env.step(jnp.asarray(u))
+            obs_seq.append(np.asarray(obs))
+        state = mpc_mod.init_state(6, 4, 1)
+        for k, o in enumerate(obs_seq[:-1]):
+            u_ref, state, _ = gpmpc_mod.select_action(
+                model, ctrl.cfg, ctrl.consts, gp, state, jnp.asarray(o)
+            )
+            np.testing.assert_allclose(act_seq[k], np.asarray(u_ref), atol=1e-4)
+    finally:
+        server.close()

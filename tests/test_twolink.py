@@ -140,3 +140,28 @@ def test_lm_reg_damps_without_moving_fixed_point():
     np.testing.assert_allclose(
         np.asarray(s_lm.X), np.asarray(s_plain.X), atol=1e-2
     )
+
+
+def test_twolink_batched_episode_generic_runner():
+    """The generic episode runner accepts the third family via env_mod=
+    (domain-randomized plants included)."""
+    import jax
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.parallel.batch import batched_episode
+
+    env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
+    model = twolink.symbolic_twolink(dt=0.02)
+    ctrl = GPMPC(
+        model, env.trajectory, None, horizon=6, q_mpc=Q, r_mpc=R,
+        sparse_gp=True, max_gp_samples=8, seed=0, max_gp_points=32,
+        sqp_iters=3, qp_iters=5, lm_reg=0.5,
+        bounds=(twolink.state_bounds(), twolink.input_bounds()),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    res = batched_episode(
+        model, ctrl.cfg, env.p, ctrl.consts, ctrl.gp_model, keys, n_steps=4,
+        use_gp=True, param_scale=0.05, env_mod=twolink_env,
+    )
+    assert res.obs.shape[:2] == (3, 5) and res.obs.shape[2] == 4
+    assert np.all(np.isfinite(np.asarray(res.obs)))
+    assert np.all(np.isfinite(np.asarray(res.actions)))
