@@ -24,8 +24,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 NORTH_STAR = 1.0e4  # solves/s, BASELINE.json north_star
 
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str):
+    """Phase progress to stderr: a timeout must leave diagnosable evidence
+    (round-3 failure mode: the driver's run timed out in remote compile with an
+    empty tail — no way to tell importing from compiling from hanging)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def main():
+    _progress("importing jax")
     import jax
 
     # Persistent compilation cache: the remote-compile service behind the axon
@@ -204,6 +214,7 @@ def main():
 
     step = jax.jit(closed_loop_step)
 
+    _progress("building initial state (first small compiles through the tunnel)")
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     env_states, obs = jax.vmap(lambda k: env_reset_fn(env_p, k))(keys)
     ctrl_states = jax.vmap(
@@ -212,9 +223,48 @@ def main():
 
     # Warm-up: compile + two steps (past the cold-start solve into the
     # warm-started tightening-active regime).
-    for _ in range(2):
+    _progress("compiling closed_loop_step (the big program; minutes cold, fast on cache hit)")
+    for i in range(2):
         env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        if i == 0:
+            _progress("closed_loop_step compiled; warming up")
     jax.device_get(u)
+    _progress("warmup done; provisional window starts")
+
+    def emit(sps, provisional=False):
+        line = json.dumps(
+            {
+                "metric": "gpmpc_solves_per_sec_1chip"
+                + ("" if bench_model == "quadrotor" else f"_{bench_model}"),
+                "value": round(sps, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(sps / NORTH_STAR, 4),
+            }
+        )
+        print(line, flush=True)
+        if provisional:
+            _progress("provisional JSON emitted (superseded by the final line if it lands)")
+
+    # Staged output (round-3 lesson): a short timed window FIRST, its JSON line
+    # printed immediately — if tunnel congestion eats the rest of the budget,
+    # the driver still captures an honest (slightly noisier) number. A
+    # backward-scanning parser picks up the final line; a forward-scanning one
+    # gets this conservative measurement. Both are real.
+    prov_steps = int(os.environ.get("BENCH_PROV_STEPS", "8"))
+    if prov_steps > 0 and not fused:
+        t0 = time.perf_counter()
+        for _ in range(prov_steps):
+            env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        jax.device_get(u)
+        emit(B * prov_steps / (time.perf_counter() - t0), provisional=True)
+
+    # Budget guard: if construction + compile already consumed the driver's
+    # patience, stop here — the provisional line IS the result.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    if time.perf_counter() - _T0 > budget_s:
+        _progress(f"over budget ({budget_s:.0f}s); keeping provisional result")
+        return
+    _progress("timing window starts")
 
     # Timing barrier: device_get, NOT block_until_ready — under the remote
     # (axon) TPU tunnel block_until_ready returns immediately (measured: a 6 s
@@ -237,19 +287,9 @@ def main():
             env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
         jax.device_get(u)
         dt_total = time.perf_counter() - t0
+    _progress(f"timing window done ({dt_total:.3f}s); printing result")
 
-    solves_per_sec = B * n_timed_steps / dt_total
-    print(
-        json.dumps(
-            {
-                "metric": "gpmpc_solves_per_sec_1chip"
-                + ("" if bench_model == "quadrotor" else f"_{bench_model}"),
-                "value": round(solves_per_sec, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / NORTH_STAR, 4),
-            }
-        )
-    )
+    emit(B * n_timed_steps / dt_total)
 
 
 if __name__ == "__main__":

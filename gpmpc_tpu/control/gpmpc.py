@@ -58,6 +58,7 @@ from gpmpc_tpu.models.quadrotor import GRAVITY, QuadrotorParams
 from gpmpc_tpu.models.residual import QUADROTOR_SPEC, ResidualSpec
 from gpmpc_tpu.models.symbolic import SymbolicModel
 from gpmpc_tpu.ops import discretize_linear_system, lqr_gain_discrete
+from gpmpc_tpu.utils.hostmath import host_default_device
 from gpmpc_tpu.ops.sqp import OcpBounds, SqpConfig, sqp_solve
 
 # The residual structure is per-model data (models/residual.py::ResidualSpec);
@@ -844,22 +845,36 @@ class GPMPC:
 
         # Chance-constraint quantile (gpmpc.py:63-65).
         nx = symbolic_model.nx
-        # jax.scipy keeps the core install scipy-free (ops/linalg.py already
-        # guards its optional scipy use).
+        # Host-side stdlib math, deliberately NOT jax.scipy: this is a scalar
+        # computed once at construction, and an eager device op here costs a
+        # full round-trip through the remote-TPU tunnel (measured: minutes
+        # under service congestion — it was the round-3 bench-timeout blocker).
+        import statistics
+
         inverse_cdf = float(
-            jax.scipy.stats.norm.ppf(1 - (1 / nx - (prob + 1) / (2 * nx)))
+            statistics.NormalDist().inv_cdf(1 - (1 / nx - (prob + 1) / (2 * nx)))
         )
 
         # Prior linearization at equilibrium -> exact discretization + LQR gain
-        # (gpmpc.py:81-86,500-507). The equilibrium input is the model family's
-        # own trim (quadrotor: hover U_EQ; zero for models without one).
-        x_eq = jnp.zeros(nx, jnp.float32)
-        u_eq = (
-            symbolic_model.u_eq
-            if symbolic_model.u_eq is not None
-            else jnp.zeros(symbolic_model.nu, jnp.float32)
+        # (gpmpc.py:81-86,500-507). Each family carries its own trim pair
+        # (quadrotor: hover at the origin; two-link: gravity compensation at
+        # q=(-pi/2, 0.7)) so (x_eq, u_eq) is an actual equilibrium.
+        x_eq = (
+            np.asarray(symbolic_model.x_eq, np.float32)
+            if symbolic_model.x_eq is not None
+            else np.zeros(nx, np.float32)
         )
-        dfdx, dfdu = symbolic_model.df_func(x_eq, u_eq)
+        u_eq = (
+            np.asarray(symbolic_model.u_eq, np.float32)
+            if symbolic_model.u_eq is not None
+            else np.zeros(symbolic_model.nu, np.float32)
+        )
+        # One-off setup math on the local CPU backend: under a remote-TPU
+        # tunnel, an eager jacfwd + result fetch here costs a device round-trip
+        # that can block for minutes under service congestion (utils/hostmath).
+        with host_default_device():
+            dfdx, dfdu = symbolic_model.df_func(x_eq, u_eq)
+            dfdx, dfdu = np.asarray(dfdx), np.asarray(dfdu)
         Ad, Bd_in = discretize_linear_system(
             np.asarray(dfdx, np.float64), np.asarray(dfdu, np.float64), self.dt, exact=True
         )

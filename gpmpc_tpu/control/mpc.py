@@ -64,20 +64,21 @@ class MpcInfo(NamedTuple):
     # the advertised chance constraint is NOT fully honored — the reference fails
     # hard with an acados status instead (gpmpc/mpc.py:185); here degradation is
     # graceful but must be visible.
-    clamp_frac: jax.Array = jnp.asarray(0.0, jnp.float32)
+    # numpy defaults: jnp here would initialize the XLA backend at import
+    clamp_frac: jax.Array = np.float32(0.0)
     # Largest violation of the (tightened) state box at the returned solution.
     # ~0 under hard bounds (the IP keeps strict feasibility); under soft state
     # bounds (SqpConfig.soft_x_penalty) this is the graceful-degradation signal:
     # how far the L1-penalized solve chose to exceed the tightened box.
-    soft_viol: jax.Array = jnp.asarray(0.0, jnp.float32)
+    soft_viol: jax.Array = np.float32(0.0)
     # KKT residuals at the returned iterate (acados res_eq / res_stat exit
     # semantics; ops/sqp.py::kkt_residuals) and whether the SQP's convergence
     # mask triggered before the iteration cap. A `converged=False` solve is
     # the framework's analogue of a bad acados status (mpc.py:185) — callers
     # deciding to trust the action should check it.
-    eq_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
-    stat_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
-    converged: jax.Array = jnp.asarray(True)
+    eq_res: jax.Array = np.float32(np.inf)
+    stat_res: jax.Array = np.float32(np.inf)
+    converged: jax.Array = np.bool_(True)
 
 
 def default_u_eq(nu: int, dtype=jnp.float32) -> jax.Array:

@@ -23,12 +23,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 GRAVITY = 9.81
 
 # Equilibrium input: hover thrust command of the *prior* model fit.
 # Mirrors /root/reference/gpmpc/mpc.py:15.
-U_EQ = jnp.array([0.3234, 0.0, 0.0, 0.0], dtype=jnp.float32)
+# numpy, deliberately: a module-level jnp.array would initialize the XLA
+# backend at import time (breaking pre-import jax.distributed.initialize) and
+# push through the remote-TPU tunnel before anything needs a device.
+U_EQ = np.array([0.3234, 0.0, 0.0, 0.0], dtype=np.float32)
 
 STATE_LABELS = [
     "x", "d_x", "y", "d_y", "z", "d_z",

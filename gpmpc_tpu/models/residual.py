@@ -255,7 +255,7 @@ CARTPOLE_SPEC = ResidualSpec(
 
 
 # ---------------------------------------------------------------------------
-# Two-link arm (third family: N=3 keeps the spec layer honest; D=4 GP inputs
+# Two-link arm (third family: N=3 keeps the spec layer honest; D=6 GP inputs
 # exercise the non-3-dim dispatch of the variance backends)
 # ---------------------------------------------------------------------------
 

@@ -42,6 +42,12 @@ class SymbolicModel:
     # reference, so each model family carries its own trim instead of the
     # controller guessing from dimensions.
     u_eq: jax.Array | None = field(default=None, repr=False)
+    # State-space trim matching u_eq (the point where fc(x_eq, u_eq) ≈ 0);
+    # None = the origin. The GP-MPC prior linearization (tightening-LQR ansatz,
+    # control/gpmpc.py) linearizes at (x_eq, u_eq) so families whose trim is
+    # away from the origin (two-link arm: gravity compensation at
+    # q=(-pi/2, 0.7)) get a consistent equilibrium pair.
+    x_eq: jax.Array | None = field(default=None, repr=False)
     # Residual-GP structure of this family (models/residual.py::ResidualSpec):
     # GP feature selection, mean injection, variance factors, target
     # preprocessing. None = family has no residual-learning structure (nominal

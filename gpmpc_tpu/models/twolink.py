@@ -25,9 +25,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gpmpc_tpu.models import quadrotor
 from gpmpc_tpu.models.symbolic import SymbolicModel
+from gpmpc_tpu.utils.hostmath import host_default_device
 
 NX = 4
 NU = 2
@@ -106,8 +108,19 @@ def symbolic_twolink(
     fc = partial(continuous_dynamics, params=p)
     # Trim at the trajectory's mean posture (envs/twolink_env.py): gravity
     # compensation there keeps warm starts near-feasible.
-    u_eq = gravity_torques(jnp.asarray(-jnp.pi / 2), jnp.asarray(0.7), p)
+    # Host CPU: factory-time eager math must not ride the remote-TPU tunnel
+    # (utils/hostmath), and the trim constants stay numpy so constructing a
+    # model never blocks on a device fetch.
+    with host_default_device():
+        u_eq = np.asarray(
+            gravity_torques(jnp.asarray(-jnp.pi / 2), jnp.asarray(0.7), p),
+            np.float32,
+        )
+    # The matching state trim: (x_eq, u_eq) is an equilibrium (zero rates at
+    # the mean posture with gravity compensated), so the controller's prior
+    # linearization is taken at a consistent point.
+    x_eq = np.array([-np.pi / 2, 0.7, 0.0, 0.0], np.float32)
     return SymbolicModel(
-        nx=NX, nu=NU, dt=float(dt), params=p, fc_func=fc, u_eq=u_eq,
+        nx=NX, nu=NU, dt=float(dt), params=p, fc_func=fc, u_eq=u_eq, x_eq=x_eq,
         residual_spec=TWOLINK_SPEC,
     )

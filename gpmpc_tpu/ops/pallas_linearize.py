@@ -349,10 +349,10 @@ def _linearize_kernel_body(
     family: str, T: int, dt: float, use_gp: bool,
     # refs
     par_ref,  # (1, 8) plant params in SMEM (family-specific packing)
-    hyp_ref,  # (G, 4) per-GP [sf2, inv_ell2_0, inv_ell2_1, inv_ell2_2] in SMEM
+    hyp_ref,  # (G, 1+D) per-GP [sf2, 1/ell^2 per input dim] in SMEM (D family-dependent)
     X_ref,  # (T+1, nx, L)
     U_ref,  # (T, nu, L)
-    Zs_ref,  # (G, Ms, 3)
+    Zs_ref,  # (G, Ms, D) mean-inducing inputs (D family-dependent)
     alpha_ref,  # (G, Ms)
     fnext_ref,  # (T, nx, L) out
     A_ref,  # (T, nx, nx, L) out
@@ -404,8 +404,8 @@ def _linearize_kernel_body(
 )
 def linearize_ocp_lanes(
     params8: jax.Array,  # (8,) plant params (family-specific packing)
-    hyp: jax.Array,  # (G, 4) per-GP [sf2, 1/ell^2 per input dim (ARD or repeated)]
-    Zs: jax.Array,  # (G, Ms, 3) mean-inducing inputs
+    hyp: jax.Array,  # (G, 1+D) per-GP [sf2, 1/ell^2 per input dim (ARD or repeated)]
+    Zs: jax.Array,  # (G, Ms, D) mean-inducing inputs (D=3 quad/cartpole, 6 twolink)
     alpha: jax.Array,  # (G, Ms) mean weights (zero rows inert)
     X: jax.Array,  # (T+1, nx, L) lanes-layout state trajectory
     U: jax.Array,  # (T, nu, L)

@@ -23,6 +23,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gpmpc_tpu.ops.boxqp import BOUND_INF, OcpQpData, solve_ocp_qp
 
@@ -123,11 +124,12 @@ class SqpSolution(NamedTuple):
     # KKT residuals at the last active iterate (acados res_eq / res_stat):
     # max dynamics defect and projected-gradient stationarity (see
     # kkt_residuals). inf until the first iteration evaluates them.
-    eq_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
-    stat_res: jax.Array = jnp.asarray(jnp.inf, jnp.float32)
+    # numpy defaults: jnp here would initialize the XLA backend at import
+    eq_res: jax.Array = np.float32(np.inf)
+    stat_res: jax.Array = np.float32(np.inf)
     # Whether the convergence mask triggered before the iteration cap (always
     # checks step_norm < step_tol; with cfg.kkt_tol also both residuals).
-    converged: jax.Array = jnp.asarray(True)
+    converged: jax.Array = np.bool_(True)
 
 
 def kkt_residuals(

@@ -151,7 +151,7 @@ class LanesLinearizer(NamedTuple):
 
     params8: jax.Array  # (8,) family-specific packing (ResidualSpec.kernel_params)
     hyp: jax.Array  # (G, 1+D) per-GP [sf2, 1/ell^2 per dim (ARD or repeated)]
-    Zs: jax.Array  # (G, Ms, 3)
+    Zs: jax.Array  # (G, Ms, D) (D family-dependent)
     alpha: jax.Array  # (G, Ms)
     use_gp: bool  # static
     family: str = "quadrotor"  # static; key into pallas_linearize._FAMILY_FC_JAC

@@ -10,9 +10,16 @@ Run modes:
   * real TPU, single host:        python scripts/run_multihost.py
   * local validation (no TPU):    python scripts/run_multihost.py --virtual 8 \
                                       --scenarios 64 --steps 2 --backend xla
+  * local MULTI-PROCESS validation (exercises jax.distributed.initialize +
+    cross-process Gloo collectives on CPU — the DCN code path with N local
+    processes standing in for N hosts):
+        python scripts/run_multihost.py --virtual-hosts 2 --scenarios 16 \
+            --steps 1 --backend xla --horizon 10 --gp-points 32 --parity
 
 The driver's `__graft_entry__.dryrun_multichip` exercises the same sharded path
-in CI; this script is the operational entry point.
+in CI; this script is the operational entry point. `tests/test_multihost.py`
+runs the --virtual-hosts parity mode so the multi-host init path
+(parallel/mesh.py::init_distributed) is executed by the suite.
 """
 
 from __future__ import annotations
@@ -20,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -27,15 +35,78 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main():
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", type=int, default=65536)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--backend", default="lanes", choices=["lanes", "xla"])
     ap.add_argument("--horizon", type=int, default=25)
+    ap.add_argument("--gp-points", type=int, default=128)
     ap.add_argument("--distributed", action="store_true", help="jax.distributed.initialize()")
     ap.add_argument("--virtual", type=int, default=0, help="force N virtual CPU devices")
-    args = ap.parse_args()
+    ap.add_argument(
+        "--virtual-hosts", type=int, default=0,
+        help="spawn N local CPU processes as virtual hosts (multi-process "
+        "jax.distributed over 127.0.0.1; each host gets --virtual devices, "
+        "default 2)",
+    )
+    ap.add_argument(
+        "--parity", action="store_true",
+        help="after the sharded run, recompute the step locally (unsharded) "
+        "and assert cross-process / sharded-vs-local parity",
+    )
+    # Worker-mode plumbing (set by the --virtual-hosts orchestrator, not by hand).
+    ap.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--num-processes", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--process-id", type=int, default=None, help=argparse.SUPPRESS)
+    return ap.parse_args(argv)
+
+
+def orchestrate_virtual_hosts(args) -> int:
+    """Spawn N copies of this script as local 'hosts' sharing one coordinator."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    n = args.virtual_hosts
+    devices_per_host = args.virtual or 2
+    base = [
+        sys.executable, os.path.abspath(__file__),
+        "--scenarios", str(args.scenarios), "--steps", str(args.steps),
+        "--backend", args.backend, "--horizon", str(args.horizon),
+        "--gp-points", str(args.gp_points),
+        "--virtual", str(devices_per_host),
+        "--coordinator", f"127.0.0.1:{port}",
+        "--num-processes", str(n),
+    ]
+    if args.parity:
+        base.append("--parity")
+    procs = [
+        subprocess.Popen(
+            base + ["--process-id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(n)
+    ]
+    rc = 0
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        if p.returncode != 0:
+            rc = p.returncode or 1
+        # Process 0 carries the metric line; echo every host's output with a
+        # prefix so failures are diagnosable from the orchestrator's log.
+        for line in out.splitlines():
+            print(line if i == 0 and not line.startswith("[") else f"[host{i}] {line}")
+    return rc
+
+
+def main():
+    args = parse_args()
+    if args.virtual_hosts and args.process_id is None:
+        sys.exit(orchestrate_virtual_hosts(args))
 
     if args.virtual:
         os.environ["XLA_FLAGS"] = (
@@ -46,22 +117,33 @@ def main():
 
     if args.virtual:
         jax.config.update("jax_platforms", "cpu")
-    if args.distributed:
+    if args.distributed or args.coordinator is not None:
+        # `jax.distributed.initialize` must run before anything touches the
+        # XLA backend; importing gpmpc_tpu is safe here because the package
+        # performs no device ops at import time (tests/test_import_hygiene.py
+        # locks this in).
         from gpmpc_tpu.parallel.mesh import init_distributed
 
-        init_distributed()
+        # Explicit coordinator triple = local virtual-host worker; bare
+        # --distributed = real TPU pod auto-bootstrap.
+        init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gpmpc_tpu.control import mpc as mpc_mod
-    from gpmpc_tpu.control.gpmpc import GPMPC, pack_training_data, train_gp_models
+    from gpmpc_tpu.control.gpmpc import GPMPC
     from gpmpc_tpu.envs import drone
     from gpmpc_tpu.envs.drone import DroneFigureEightEnv
     from gpmpc_tpu.models.symbolic import symbolic_attitude
     from gpmpc_tpu.parallel.batch import batched_gpmpc_step
     from gpmpc_tpu.parallel.mesh import make_mesh
 
+    pid = jax.process_index()
     n_dev = len(jax.devices())
     B = args.scenarios - (args.scenarios % n_dev) or n_dev
     mesh = make_mesh(n_dev)
@@ -73,10 +155,14 @@ def main():
     prior = reference_prior_dict()
     env = DroneFigureEightEnv()
     model = symbolic_attitude(dt=0.02, params=prior)
+    gp_inducing = min(40, args.gp_points)
     ctrl = GPMPC(model, env.trajectory, prior, horizon=args.horizon, q_mpc=q, r_mpc=r,
-                 sparse_gp=True, max_gp_samples=40, seed=1, max_gp_points=128,
-                 sqp_iters=6, qp_iters=10)
-    gp = synthetic_gp_model(max_points=128, max_inducing=40, n_train=20)
+                 sparse_gp=True, max_gp_samples=gp_inducing, seed=1,
+                 max_gp_points=args.gp_points, sqp_iters=6, qp_iters=10)
+    gp = synthetic_gp_model(
+        max_points=args.gp_points, max_inducing=gp_inducing,
+        n_data=args.gp_points, n_train=20,
+    )
 
     env_p = env.p
     traj = env.trajectory
@@ -89,36 +175,70 @@ def main():
         # Cross-device reduction over the sharded scenario axis (ICI/DCN collective).
         ref = traj[jnp.mod(ctrl_states.traj_step[0], traj.shape[0])]
         err = jnp.sqrt((obs[:, 0] - ref[0]) ** 2 + (obs[:, 2] - ref[2]) ** 2 + (obs[:, 4] - ref[4]) ** 2)
-        return env_states, ctrl_states, obs, jnp.mean(err)
+        return env_states, ctrl_states, obs, u, jnp.mean(err)
 
     step = jax.jit(
         closed_loop,
         in_shardings=(repl, repl, shard, shard, shard),
-        out_shardings=(shard, shard, shard, repl),
+        out_shardings=(shard, shard, shard, shard, repl),
     )
 
+    # Every process builds the identical full-batch initial state (deterministic
+    # from the seed), then the global sharded arrays are assembled shard-by-shard
+    # — device_put of a host array onto a mesh spanning non-addressable devices
+    # is not legal in multi-process mode, make_array_from_callback is.
     keys = jax.random.split(jax.random.PRNGKey(1), B)
-    env_states, obs = jax.vmap(lambda k: drone.env_reset(env_p, k))(keys)
-    ctrl_states = jax.vmap(lambda _: mpc_mod.init_state(args.horizon, 12, 4))(jnp.arange(B))
-    env_states = jax.device_put(env_states, shard)
-    ctrl_states = jax.device_put(ctrl_states, shard)
-    obs = jax.device_put(obs, shard)
+    env_states0, obs0 = jax.vmap(lambda k: drone.env_reset(env_p, k))(keys)
+    ctrl_states0 = jax.vmap(lambda _: mpc_mod.init_state(args.horizon, 12, 4))(jnp.arange(B))
+
+    def globalize(tree, sharding):
+        def _mk(leaf):
+            host = np.asarray(leaf)
+            return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+        return jax.tree.map(_mk, tree)
+
+    env_states = globalize(env_states0, shard)
+    ctrl_states = globalize(ctrl_states0, shard)
+    obs = globalize(obs0, shard)
+    consts_g = globalize(ctrl.consts, repl)
+    gp_g = globalize(gp, repl)
 
     for _ in range(2):
-        env_states, ctrl_states, obs, err = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        env_states, ctrl_states, obs, u, err = step(consts_g, gp_g, env_states, ctrl_states, obs)
     err.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        env_states, ctrl_states, obs, err = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+        env_states, ctrl_states, obs, u, err = step(consts_g, gp_g, env_states, ctrl_states, obs)
     err.block_until_ready()
     dt = time.perf_counter() - t0
     sps = B * args.steps / dt
-    print(json.dumps({
-        "metric": f"solves_per_sec[multihost_{n_dev}dev_B{B}_{args.backend}]",
-        "value": round(sps, 1), "unit": "solves/s",
-        "vs_baseline": round(sps / 1e4, 4),
-        "mean_tracking_err_m": round(float(err), 4),
-    }))
+
+    if args.parity:
+        # Re-run the same 2+steps window locally (unsharded, this process's
+        # default device) and compare against the globally-sharded result —
+        # cross-process parity of the full control trace.
+        from jax.experimental import multihost_utils
+
+        local_step = jax.jit(closed_loop)
+        es, cs, ob = env_states0, ctrl_states0, obs0
+        for _ in range(2 + args.steps):
+            es, cs, ob, u_loc, err_loc = local_step(ctrl.consts, gp, es, cs, ob)
+        u_glob = multihost_utils.process_allgather(u, tiled=True)
+        du = float(np.max(np.abs(np.asarray(u_glob) - np.asarray(u_loc))))
+        derr = abs(float(err) - float(err_loc))
+        ok = du < 1e-4 and derr < 1e-4
+        print(f"PARITY pid={pid} max|du|={du:.3e} |derr|={derr:.3e} ok={ok}", flush=True)
+        if not ok:
+            sys.exit(3)
+
+    if pid == 0:
+        print(json.dumps({
+            "metric": f"solves_per_sec[multihost_{jax.process_count()}proc_{n_dev}dev_B{B}_{args.backend}]",
+            "value": round(sps, 1), "unit": "solves/s",
+            "vs_baseline": round(sps / 1e4, 4),
+            "mean_tracking_err_m": round(float(err), 4),
+        }))
 
 
 if __name__ == "__main__":
