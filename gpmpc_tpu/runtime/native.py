@@ -33,6 +33,10 @@ def build_native_library(force: bool = False) -> Path:
     return _LIB_PATH
 
 
+# Family ids of the generic oracle entry points (native/ocp_solver.cpp).
+NATIVE_FAMILIES = {"cartpole": 1, "twolink": 2}
+
+
 class NativeOcpSolver:
     """Host-side box-constrained OCP-QP solver (double precision internally)."""
 
@@ -65,6 +69,21 @@ class NativeOcpSolver:
         self._lib.gpmpc_native_gpmpc_solve.restype = ctypes.c_int
         self._lib.gpmpc_native_gpmpc_solve.argtypes = (
             [f32p, ctypes.c_float, ctypes.c_int, ctypes.c_int]
+            + [f64p] * 4
+            + [f32p] * 10
+            + [ctypes.c_int, ctypes.c_int, ctypes.c_float]
+            + [f32p] * 2
+        )
+        self._lib.gpmpc_native_family_tighten.restype = None
+        self._lib.gpmpc_native_family_tighten.argtypes = (
+            [ctypes.c_int] * 3
+            + [f64p] * 11
+            + [ctypes.c_double, ctypes.c_double]
+            + [f64p] * 2
+        )
+        self._lib.gpmpc_native_family_gpmpc_solve.restype = ctypes.c_int
+        self._lib.gpmpc_native_family_gpmpc_solve.argtypes = (
+            [ctypes.c_int, f32p, ctypes.c_float, ctypes.c_int, ctypes.c_int]
             + [f64p] * 4
             + [f32p] * 10
             + [ctypes.c_int, ctypes.c_int, ctypes.c_float]
@@ -185,6 +204,87 @@ class NativeOcpSolver:
         )
         if status != 0:
             raise RuntimeError(f"native GP-MPC solver failed with status {status}")
+        return X, U
+
+    # -- family-generic oracle (cartpole / two-link) ---------------------------
+    # The quadrotor keeps its dedicated entry points (rotated mean/variance
+    # injection); these families share identity var_factors and direct row
+    # injection, so one generic C++ path covers both.
+
+    def family_tighten(
+        self,
+        family: str,
+        X_prev: np.ndarray,   # (T+1, nx)
+        U_prev: np.ndarray,   # (T, nu)
+        var_Z: np.ndarray,    # (G, Ms, D)
+        var_mat: np.ndarray,  # (G, Ms, Ms)
+        var_mask: np.ndarray,  # (G, Ms)
+        inv_ell2: np.ndarray,  # (G, D)
+        sf2: np.ndarray,      # (G,)
+        noise: np.ndarray,    # (G,)
+        Ad: np.ndarray, Bd_in: np.ndarray, lqr_gain: np.ndarray,
+        ppf: float, dt: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        fam = NATIVE_FAMILIES[family]
+        T, nu = U_prev.shape
+        nx = X_prev.shape[1]
+        ms = var_Z.shape[1]
+        f64c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        args = [f64c(a) for a in (X_prev, U_prev, var_Z, var_mat, var_mask,
+                                  inv_ell2, sf2, noise, Ad, Bd_in, lqr_gain)]
+        t_x = np.zeros((T + 1, nx), np.float64)
+        t_u = np.zeros((T, nu), np.float64)
+        self._lib.gpmpc_native_family_tighten(
+            fam, T, ms, *[a.ctypes.data_as(f64p) for a in args],
+            float(ppf), float(dt),
+            t_x.ctypes.data_as(f64p), t_u.ctypes.data_as(f64p),
+        )
+        return t_x, t_u
+
+    def family_gpmpc_solve(
+        self,
+        family: str,
+        params: np.ndarray,      # family plant params (padded to 8)
+        dt: float,
+        gp_Zs: np.ndarray,       # (G, Ms, D)
+        gp_alpha: np.ndarray,    # (G, Ms)
+        gp_inv_ell2: np.ndarray,  # (G, D)
+        gp_sf2: np.ndarray,      # (G,)
+        x0: np.ndarray,
+        xref: np.ndarray,        # (T+1, nx)
+        uref: np.ndarray,        # (T, nu)
+        qdiag: np.ndarray, rdiag: np.ndarray, qediag: np.ndarray,
+        lx_stage: np.ndarray, ux_stage: np.ndarray,  # (T+1, nx)
+        lu_stage: np.ndarray, uu_stage: np.ndarray,  # (T, nu)
+        X_warm: np.ndarray, U_warm: np.ndarray,
+        sqp_iters: int = 25, qp_iters: int = 20, step_tol: float = 1e-6,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full GP-MPC solve for a non-quadrotor family (ms = 0 rows of
+        alpha=0 still run the GP path; pass a (G, 0, D) Zs for nominal)."""
+        fam = NATIVE_FAMILIES[family]
+        T = uref.shape[0]
+        ms = gp_Zs.shape[1]
+        p8 = np.zeros(8, np.float32)
+        p8[: len(params)] = np.asarray(params, np.float32)
+        f32c = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+        f64c = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        X = f32c(X_warm).copy()
+        U = f32c(U_warm).copy()
+        gp_args = [f64c(a) for a in (gp_Zs, gp_alpha, gp_inv_ell2, gp_sf2)]
+        args = [f32c(a) for a in (x0, xref, uref, qdiag, rdiag, qediag,
+                                  lx_stage, ux_stage, lu_stage, uu_stage)]
+        status = self._lib.gpmpc_native_family_gpmpc_solve(
+            fam, p8.ctypes.data_as(f32p), dt, T, ms,
+            *[a.ctypes.data_as(f64p) for a in gp_args],
+            *[a.ctypes.data_as(f32p) for a in args],
+            sqp_iters, qp_iters, step_tol,
+            X.ctypes.data_as(f32p), U.ctypes.data_as(f32p),
+        )
+        if status != 0:
+            raise RuntimeError(f"native family GP-MPC solve failed: {status}")
         return X, U
 
     def solve(

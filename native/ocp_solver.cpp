@@ -750,3 +750,370 @@ extern "C" int gpmpc_native_gpmpc_solve(
   for (int i = 0; i < NUT; ++i) U_out[i] = (float)U[i];
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Family-generic full-controller oracle (round 4).
+//
+// The quadrotor entry points above mirror the reference's only model; the
+// framework itself is model-generic (models/residual.py::ResidualSpec), so the
+// external oracle must be too (VERDICT r3 item 3: with acados unbuildable in
+// this image — tests/oracles/logs/acados_build_attempt_r4.log — the native
+// oracle anchors closed-loop parity for ALL families). Families here:
+//   1 = cartpole  (nx=4, nu=1; params [m_cart, m_pole, length];
+//                  G=2 GPs, D=3 inputs: GP0 z=[dx, dtheta, force],
+//                  GP1 z=[theta, dtheta, force]; uncertain rows {1, 3})
+//   2 = twolink   (nx=4, nu=2; params [m1, m2, l1, l2];
+//                  G=2 GPs, D=6 inputs z=[q1,q2,dq1,dq2,tau/10];
+//                  uncertain rows {2, 3})
+// Mirrors gpmpc_tpu/models/{cartpole,twolink}.py and the specs in
+// models/residual.py; identity var_factors (no rotation) for both.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int FAM_CARTPOLE = 1, FAM_TWOLINK = 2;
+constexpr int MAXX = 12, MAXU = 4, MAXD = 8;
+
+void fam_dims(int family, int* nx, int* nu, int* G, int* D) {
+  if (family == FAM_CARTPOLE) { *nx = 4; *nu = 1; *G = 2; *D = 3; }
+  else                        { *nx = 4; *nu = 2; *G = 2; *D = 6; }
+}
+
+void fam_unc_rows(int family, int* rows /*G*/) {
+  if (family == FAM_CARTPOLE) { rows[0] = 1; rows[1] = 3; }
+  else                        { rows[0] = 2; rows[1] = 3; }
+}
+
+// mirrors models/cartpole.py::continuous_dynamics
+void cart_fc(const double* p, const double* x, const double* u, double* out) {
+  const double mc = p[0], mp = p[1], ell = p[2];
+  const double theta = x[2], dtheta = x[3], force = u[0];
+  const double total = mc + mp;
+  const double st = std::sin(theta), ct = std::cos(theta);
+  const double tmp = (force + mp * ell * dtheta * dtheta * st) / total;
+  const double ddth =
+      (GRAV * st - ct * tmp) / (ell * (4.0 / 3.0 - mp * ct * ct / total));
+  const double ddx = tmp - mp * ell * ddth * ct / total;
+  out[0] = x[1];
+  out[1] = ddx;
+  out[2] = dtheta;
+  out[3] = ddth;
+}
+
+// mirrors models/twolink.py::continuous_dynamics (uniform-rod planar 2R arm)
+void twolink_fc(const double* p, const double* x, const double* u, double* out) {
+  const double m1 = p[0], m2 = p[1], l1 = p[2], l2 = p[3];
+  const double lc1 = 0.5 * l1, lc2 = 0.5 * l2;
+  const double i1 = m1 * l1 * l1 / 12.0, i2 = m2 * l2 * l2 / 12.0;
+  const double q1 = x[0], q2 = x[1], dq1 = x[2], dq2 = x[3];
+  const double c2 = std::cos(q2);
+  const double m11 = i1 + i2 + m1 * lc1 * lc1 +
+                     m2 * (l1 * l1 + lc2 * lc2 + 2.0 * l1 * lc2 * c2);
+  const double m12 = i2 + m2 * (lc2 * lc2 + l1 * lc2 * c2);
+  const double m22 = i2 + m2 * lc2 * lc2;
+  const double g1 = (m1 * lc1 + m2 * l1) * GRAV * std::cos(q1) +
+                    m2 * lc2 * GRAV * std::cos(q1 + q2);
+  const double g2 = m2 * lc2 * GRAV * std::cos(q1 + q2);
+  const double h = m2 * l1 * lc2 * std::sin(q2);
+  const double c1v = -h * dq2 * (2.0 * dq1 + dq2);
+  const double c2v = h * dq1 * dq1;
+  const double r1 = u[0] - c1v - g1;
+  const double r2 = u[1] - c2v - g2;
+  const double det = m11 * m22 - m12 * m12;
+  out[0] = dq1;
+  out[1] = dq2;
+  out[2] = (m22 * r1 - m12 * r2) / det;
+  out[3] = (m11 * r2 - m12 * r1) / det;
+}
+
+void fam_fc(int family, const double* p, const double* x, const double* u,
+            double* out) {
+  if (family == FAM_CARTPOLE) cart_fc(p, x, u, out);
+  else twolink_fc(p, x, u, out);
+}
+
+// per-GP feature vector (mirrors the gp_idx slicing of CARTPOLE_SPEC /
+// TWOLINK_SPEC's full-feature z)
+void fam_gp_z(int family, int gi, const double* x, const double* u,
+              double* z /*D*/) {
+  if (family == FAM_CARTPOLE) {
+    if (gi == 0) { z[0] = x[1]; z[1] = x[3]; z[2] = u[0]; }
+    else         { z[0] = x[2]; z[1] = x[3]; z[2] = u[0]; }
+  } else {
+    z[0] = x[0]; z[1] = x[1]; z[2] = x[2]; z[3] = x[3];
+    z[4] = 0.1 * u[0]; z[5] = 0.1 * u[1];  // _TWOLINK_TAU_SCALE
+  }
+}
+
+struct FamGpCtx {
+  int G, ms, D;
+  const double* Zs;        // (G, ms, D)
+  const double* alpha;     // (G, ms)
+  const double* inv_ell2;  // (G, D)
+  const double* sf2;       // (G,)
+};
+
+double fam_gp_mean(const FamGpCtx* g, int gi, const double* z) {
+  double s = 0.0;
+  for (int m = 0; m < g->ms; ++m) {
+    double d2 = 0.0;
+    for (int d = 0; d < g->D; ++d) {
+      const double diff = g->Zs[(gi * g->ms + m) * g->D + d] - z[d];
+      d2 += diff * diff * g->inv_ell2[gi * g->D + d];
+    }
+    s += g->alpha[gi * g->ms + m] * std::exp(-0.5 * d2);
+  }
+  return g->sf2[gi] * s;
+}
+
+// fc + identity-injected GP means on the family's uncertain rows
+void fam_fc_gp(int family, const double* p, const FamGpCtx* g, const double* x,
+               const double* u, double* out) {
+  fam_fc(family, p, x, u, out);
+  if (!g) return;
+  int rows[2];
+  fam_unc_rows(family, rows);
+  double z[MAXD];
+  for (int gi = 0; gi < g->G; ++gi) {
+    fam_gp_z(family, gi, x, u, z);
+    out[rows[gi]] += fam_gp_mean(g, gi, z);
+  }
+}
+
+void fam_rk4(int family, const double* p, const FamGpCtx* g, int nx,
+             const double* x, const double* u, double dt, double* out) {
+  double k1[MAXX], k2[MAXX], k3[MAXX], k4[MAXX], tmp[MAXX];
+  fam_fc_gp(family, p, g, x, u, k1);
+  for (int i = 0; i < nx; ++i) tmp[i] = x[i] + 0.5 * dt * k1[i];
+  fam_fc_gp(family, p, g, tmp, u, k2);
+  for (int i = 0; i < nx; ++i) tmp[i] = x[i] + 0.5 * dt * k2[i];
+  fam_fc_gp(family, p, g, tmp, u, k3);
+  for (int i = 0; i < nx; ++i) tmp[i] = x[i] + dt * k3[i];
+  fam_fc_gp(family, p, g, tmp, u, k4);
+  for (int i = 0; i < nx; ++i)
+    out[i] = x[i] + dt / 6.0 * (k1[i] + 2 * k2[i] + 2 * k3[i] + k4[i]);
+}
+
+void fam_rk4_jac(int family, const double* p, const FamGpCtx* g, int nx, int nu,
+                 const double* x, const double* u, double dt, double* A,
+                 double* B) {
+  const double eps = 1e-6;
+  double xp[MAXX], xm[MAXX], fp[MAXX], fm[MAXX], up[MAXU], um[MAXU];
+  for (int j = 0; j < nx; ++j) {
+    std::memcpy(xp, x, nx * sizeof(double));
+    std::memcpy(xm, x, nx * sizeof(double));
+    xp[j] += eps;
+    xm[j] -= eps;
+    fam_rk4(family, p, g, nx, xp, u, dt, fp);
+    fam_rk4(family, p, g, nx, xm, u, dt, fm);
+    for (int i = 0; i < nx; ++i) A[i * nx + j] = (fp[i] - fm[i]) / (2 * eps);
+  }
+  for (int j = 0; j < nu; ++j) {
+    std::memcpy(up, u, nu * sizeof(double));
+    std::memcpy(um, u, nu * sizeof(double));
+    up[j] += eps;
+    um[j] -= eps;
+    fam_rk4(family, p, g, nx, x, up, dt, fp);
+    fam_rk4(family, p, g, nx, x, um, dt, fm);
+    for (int i = 0; i < nx; ++i) B[i * nu + j] = (fp[i] - fm[i]) / (2 * eps);
+  }
+}
+
+// D-generic predictive variance: sf2 - k W k' (same form as gp_variance above)
+double fam_gp_variance(int ms, int D, const double* varZ, const double* varMat,
+                       const double* varMask, const double* inv_ell2, double sf2,
+                       const double* z, vector<double>& kbuf) {
+  for (int m = 0; m < ms; ++m) {
+    double d2 = 0.0;
+    for (int d = 0; d < D; ++d) {
+      const double diff = z[d] - varZ[m * D + d];
+      d2 += diff * diff * inv_ell2[d];
+    }
+    kbuf[m] = sf2 * std::exp(-0.5 * d2) * varMask[m];
+  }
+  double quad = 0.0;
+  for (int m = 0; m < ms; ++m) {
+    double t = 0.0;
+    for (int n = 0; n < ms; ++n) t += kbuf[n] * varMat[n * ms + m];
+    quad += t * kbuf[m];
+  }
+  const double v = sf2 - quad;
+  return v > 1e-12 ? v : 1e-12;
+}
+
+}  // namespace
+
+// Chance-constraint tightening for identity-var_factor families (cartpole /
+// twolink): GP variance lands directly on uncertain row g — no rotation.
+extern "C" void gpmpc_native_family_tighten(
+    int family, int T, int ms,
+    const double* Xp,        // (T+1)*nx previous solution
+    const double* Up,        // T*nu
+    const double* varZ,      // G*ms*D
+    const double* varMat,    // G*ms*ms
+    const double* varMask,   // G*ms
+    const double* inv_ell2,  // G*D
+    const double* sf2,       // G
+    const double* noise,     // G
+    const double* Ad,        // nx*nx
+    const double* Bd_in,     // nx*nu
+    const double* Kg,        // nu*nx
+    double ppf, double dt,
+    double* t_x,             // (T+1)*nx out
+    double* t_u              // T*nu out
+) {
+  int nx, nu, G, D;
+  fam_dims(family, &nx, &nu, &G, &D);
+  int unc[2];
+  fam_unc_rows(family, unc);
+  vector<double> kbuf(ms);
+  vector<double> covd(T * G);
+  const double dt2 = dt * dt;
+  double z[MAXD];
+  for (int k = 0; k < T; ++k) {
+    const double* x = Xp + k * nx;
+    const double* u = Up + k * nu;
+    for (int gi = 0; gi < G; ++gi) {
+      fam_gp_z(family, gi, x, u, z);
+      const double v =
+          fam_gp_variance(ms, D, varZ + gi * ms * D, varMat + gi * ms * ms,
+                          varMask + gi * ms, inv_ell2 + gi * D, sf2[gi], z, kbuf);
+      covd[k * G + gi] = (v + noise[gi]) * dt2;
+    }
+  }
+  vector<double> cov(nx * nx, 0.0), covxu(nx * nu), covu(nu * nu);
+  vector<double> tmp_xx(nx * nx), tmp_xu(nx * nu);
+  vector<double> At(nx * nx), Bt(nu * nx), Kt(nx * nu), nextc(nx * nx);
+  transpose(Ad, At.data(), nx, nx);
+  transpose(Bd_in, Bt.data(), nx, nu);
+  transpose(Kg, Kt.data(), nu, nx);
+  for (int k = 0; k < T; ++k) {
+    matmul(cov.data(), Kt.data(), covxu.data(), nx, nx, nu);
+    matmul(Kg, covxu.data(), covu.data(), nu, nx, nu);
+    for (int i = 0; i < nx; ++i) {
+      const double dgl = cov[i * nx + i];
+      t_x[k * nx + i] = ppf * std::sqrt(dgl > 0.0 ? dgl : 0.0);
+    }
+    for (int i = 0; i < nu; ++i) {
+      const double dgl = covu[i * nu + i];
+      t_u[k * nu + i] = ppf * std::sqrt(dgl > 0.0 ? dgl : 0.0);
+    }
+    matmul(Ad, cov.data(), tmp_xx.data(), nx, nx, nx);
+    matmul(tmp_xx.data(), At.data(), nextc.data(), nx, nx, nx);
+    matmul(Ad, covxu.data(), tmp_xu.data(), nx, nx, nu);
+    vector<double> axu_bt(nx * nx);
+    matmul(tmp_xu.data(), Bt.data(), axu_bt.data(), nx, nu, nx);
+    for (int i = 0; i < nx; ++i)
+      for (int j = 0; j < nx; ++j)
+        nextc[i * nx + j] += axu_bt[i * nx + j] + axu_bt[j * nx + i];
+    matmul(Bd_in, covu.data(), tmp_xu.data(), nx, nu, nu);
+    vector<double> b_covu_bt(nx * nx);
+    matmul(tmp_xu.data(), Bt.data(), b_covu_bt.data(), nx, nu, nx);
+    for (int i = 0; i < nx * nx; ++i) nextc[i] += b_covu_bt[i];
+    for (int j = 0; j < G; ++j)
+      nextc[unc[j] * nx + unc[j]] += covd[k * G + j];
+    cov = nextc;
+  }
+  for (int i = 0; i < nx; ++i) {
+    const double dgl = cov[i * nx + i];
+    t_x[T * nx + i] = ppf * std::sqrt(dgl > 0.0 ? dgl : 0.0);
+  }
+}
+
+// Full GP-MPC solve for a non-quadrotor family: GP-augmented RK4 dynamics
+// (FD Jacobians through the SE residual) + per-stage boxes + Gauss-Newton SQP
+// over the same interior-point QP. ms = 0 runs the nominal (GP-free) MPC.
+extern "C" int gpmpc_native_family_gpmpc_solve(
+    int family,
+    const float* pfam,         // family params (up to 8 used)
+    float dt, int T, int ms,
+    const double* gp_Zs,       // G*ms*D
+    const double* gp_alpha,    // G*ms
+    const double* gp_inv_ell2, // G*D
+    const double* gp_sf2,      // G
+    const float* x0,           // nx
+    const float* xref,         // (T+1)*nx
+    const float* uref,         // T*nu
+    const float* qdiag_in,     // nx
+    const float* rdiag_in,     // nu
+    const float* qediag_in,    // nx
+    const float* lx_stage, const float* ux_stage,  // (T+1)*nx per-stage boxes
+    const float* lu_stage, const float* uu_stage,  // T*nu
+    int sqp_iters, int qp_iters, float step_tol,
+    float* X_out,  // (T+1)*nx  in: warm start / out: solution
+    float* U_out   // T*nu
+) {
+  int nx, nu, G, D;
+  fam_dims(family, &nx, &nu, &G, &D);
+  double p[8];
+  for (int i = 0; i < 8; ++i) p[i] = pfam[i];
+  FamGpCtx gp{G, ms, D, gp_Zs, gp_alpha, gp_inv_ell2, gp_sf2};
+  const FamGpCtx* g = ms > 0 ? &gp : nullptr;
+
+  const int NXT = (T + 1) * nx, NUT = T * nu;
+  vector<double> X(NXT), U(NUT);
+  for (int i = 0; i < NXT; ++i) X[i] = X_out[i];
+  for (int i = 0; i < NUT; ++i) U[i] = U_out[i];
+  for (int i = 0; i < nx; ++i) X[i] = x0[i];
+
+  vector<float> qdiag(NXT), qx(NXT), rdiag(NUT), ru(NUT);
+  vector<float> lx(NXT), ux(NXT), lu(NUT), uu(NUT);
+  vector<float> A_f(T * nx * nx), B_f(T * nx * nu), r_f(T * nx);
+  vector<float> dxs(NXT), dus(NUT);
+  double Aj[MAXX * MAXX], Bj[MAXX * MAXU], fnext[MAXX];
+
+  for (int it = 0; it < sqp_iters; ++it) {
+    for (int k = 0; k < T; ++k) {
+      fam_rk4_jac(family, p, g, nx, nu, &X[k * nx], &U[k * nu], dt, Aj, Bj);
+      fam_rk4(family, p, g, nx, &X[k * nx], &U[k * nu], dt, fnext);
+      for (int i = 0; i < nx * nx; ++i) A_f[k * nx * nx + i] = (float)Aj[i];
+      for (int i = 0; i < nx * nu; ++i) B_f[k * nx * nu + i] = (float)Bj[i];
+      for (int i = 0; i < nx; ++i)
+        r_f[k * nx + i] = (float)(fnext[i] - X[(k + 1) * nx + i]);
+    }
+    for (int k = 0; k <= T; ++k) {
+      const double sc = (k < T) ? dt : 1.0;
+      const float* qd = (k < T) ? qdiag_in : qediag_in;
+      for (int i = 0; i < nx; ++i) {
+        qdiag[k * nx + i] = (float)(sc * qd[i]);
+        qx[k * nx + i] = (float)(sc * qd[i] * (X[k * nx + i] - xref[k * nx + i]));
+        if (k == 0) {  // x0 pinned: disable stage-0 state bounds
+          lx[i] = -1e8f;
+          ux[i] = 1e8f;
+        } else {
+          lx[k * nx + i] = (float)(lx_stage[k * nx + i] - X[k * nx + i]);
+          ux[k * nx + i] = (float)(ux_stage[k * nx + i] - X[k * nx + i]);
+        }
+      }
+    }
+    for (int k = 0; k < T; ++k)
+      for (int i = 0; i < nu; ++i) {
+        rdiag[k * nu + i] = (float)(dt * rdiag_in[i]);
+        ru[k * nu + i] =
+            (float)(dt * rdiag_in[i] * (U[k * nu + i] - uref[k * nu + i]));
+        lu[k * nu + i] = (float)(lu_stage[k * nu + i] - U[k * nu + i]);
+        uu[k * nu + i] = (float)(uu_stage[k * nu + i] - U[k * nu + i]);
+      }
+
+    int st = gpmpc_native_solve_ocp_qp(
+        T, nx, nu, A_f.data(), B_f.data(), r_f.data(), qdiag.data(), qx.data(),
+        rdiag.data(), ru.data(), lx.data(), ux.data(), lu.data(), uu.data(),
+        qp_iters, 1e-1f, 0.2f, 0.995f, dxs.data(), dus.data());
+    if (st != 0) return st;
+
+    double step = 0.0;
+    for (int i = 0; i < NXT; ++i) {
+      X[i] += dxs[i];
+      step = std::max(step, (double)std::abs(dxs[i]));
+    }
+    for (int i = 0; i < NUT; ++i) {
+      U[i] += dus[i];
+      step = std::max(step, (double)std::abs(dus[i]));
+    }
+    for (int i = 0; i < nx; ++i) X[i] = x0[i];
+    if (step < step_tol) break;
+  }
+  for (int i = 0; i < NXT; ++i) X_out[i] = (float)X[i];
+  for (int i = 0; i < NUT; ++i) U_out[i] = (float)U[i];
+  return 0;
+}

@@ -217,3 +217,147 @@ def test_native_full_gpmpc_episode_parity(native):
         f"full-episode GP-MPC control RMSE {rmse:.2e} vs the native oracle "
         "exceeds the 1e-3 parity bar"
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", ["cartpole", "twolink"])
+def test_native_family_gpmpc_episode_parity(native, family):
+    """Round-4: closed-loop GP-MPC parity for the NON-quadrotor families
+    through the family-generic native oracle (gpmpc_native_family_gpmpc_solve
+    + _family_tighten). acados remains unbuildable here (zero network egress —
+    tests/oracles/logs/acados_build_attempt_r4.log), so the independent C++
+    implementation anchors solution quality for every family: per step the
+    oracle recomputes the chance tightening from ITS OWN previous solution and
+    solves the GP-augmented OCP to convergence (FD Jacobians through the SE
+    residual, double precision); the production jnp solver sees the same
+    observations. Control RMSE <= 1e-3 over the episode."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.control import gpmpc as gpmpc_mod
+    from gpmpc_tpu.control import mpc as mpc_mod
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs import cartpole_env, twolink_env
+    from gpmpc_tpu.models import cartpole as cartpole_mod
+    from gpmpc_tpu.models import twolink as twolink_mod
+
+    T_h, n_steps = 20, 120
+    rng = np.random.default_rng(5)
+    if family == "cartpole":
+        env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
+        model = cartpole_mod.symbolic_cartpole(dt=0.02)
+        ctrl = GPMPC(
+            model, env.trajectory, None, horizon=T_h,
+            q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+            sparse_gp=True, max_gp_samples=20, seed=1, max_gp_points=64,
+            sqp_iters=6, qp_iters=10,
+            bounds=(cartpole_mod.state_bounds(), cartpole_mod.input_bounds()),
+        )
+        params = np.asarray(
+            [model.params.m_cart, model.params.m_pole, model.params.length]
+        )
+        # synthetic residual dataset in z-space (benchkit recipe)
+        xz = np.zeros((48, 4), np.float32)
+        xz[:, 0] = rng.normal(0, 0.5, 48)
+        xz[:, 1] = rng.normal(0, 0.2, 48)
+        xz[:, 2] = rng.normal(0, 0.5, 48)
+        xz[:, 3] = rng.uniform(-6, 6, 48)
+        y = np.stack(
+            [-0.4 * xz[:, 0] + 0.12 * xz[:, 3], -0.5 * xz[:, 2] - 0.3 * xz[:, 1]],
+            axis=1,
+        ).astype(np.float32)
+    else:
+        env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
+        model = twolink_mod.symbolic_twolink(dt=0.02)
+        ctrl = GPMPC(
+            model, env.trajectory, None, horizon=T_h,
+            q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
+            sparse_gp=True, max_gp_samples=20, seed=1, max_gp_points=64,
+            sqp_iters=8, qp_iters=10, lm_reg=0.0,
+            bounds=(twolink_mod.state_bounds(), twolink_mod.input_bounds()),
+        )
+        p = model.params
+        params = np.asarray([p.m1, p.m2, p.l1, p.l2])
+        xz = np.zeros((48, 6), np.float32)
+        xz[:, 0] = rng.uniform(-2.0, 0.0, 48)
+        xz[:, 1] = rng.uniform(0.0, 1.5, 48)
+        xz[:, 2:4] = rng.normal(0, 0.5, (48, 2))
+        xz[:, 4:] = rng.uniform(-1.0, 1.0, (48, 2))
+        y = np.stack(
+            [0.6 + 0.3 * np.sin(xz[:, 1]) + 0.5 * xz[:, 4],
+             -0.8 - 0.4 * xz[:, 2] + 0.4 * xz[:, 5]],
+            axis=1,
+        ).astype(np.float32)
+
+    ctrl.cfg = ctrl.cfg._replace(qp_mehrotra=True)
+    ctrl.train_gp(xz, y, lr=0.05, iterations=60)
+    gp = ctrl.gp_model
+    prod_step = jax.jit(
+        lambda g, s, o: gpmpc_mod.select_action(model, ctrl.cfg, ctrl.consts, g, s, o)
+    )
+
+    G, D = ctrl.spec.num_gps, ctrl.spec.gp_input_dim
+    ell = np.asarray(jax.nn.softplus(gp.hypers.raw_lengthscale), np.float64)
+    inv_ell2 = np.broadcast_to((1.0 / (ell * ell)).reshape(G, -1), (G, D)).copy()
+    sf2 = np.asarray(jax.nn.softplus(gp.hypers.raw_outputscale), np.float64)
+    noise = np.asarray(jax.nn.softplus(gp.hypers.raw_noise), np.float64) + 1e-6
+    Ad = np.asarray(ctrl.consts.Ad, np.float64)
+    Bd_in = np.asarray(ctrl.consts.Bd_in, np.float64)
+    Kg = np.asarray(ctrl.consts.lqr_gain, np.float64)
+    ppf = float(ctrl.consts.inverse_cdf)
+    dt = float(ctrl.consts.dt)
+    nx, nu = model.nx, model.nu
+    qdiag = np.asarray(np.diagonal(np.asarray(ctrl.consts.mpc.Q)), np.float32)
+    rdiag = np.asarray(np.diagonal(np.asarray(ctrl.consts.mpc.R)), np.float32)
+    s_lo = np.asarray(ctrl.consts.mpc.lx, np.float64)
+    s_hi = np.asarray(ctrl.consts.mpc.ux, np.float64)
+    u_lo = np.asarray(ctrl.consts.mpc.lu, np.float64)
+    u_hi = np.asarray(ctrl.consts.mpc.uu, np.float64)
+    uref = np.asarray(ctrl.consts.mpc.uref, np.float32)
+    traj = np.asarray(env.trajectory, np.float32)
+
+    obs, _ = env.reset(seed=0)
+    obs_np = np.asarray(obs, np.float32)
+    prod_state = mpc_mod.init_state(T_h, nx, nu)
+    X_warm = np.tile(obs_np[None], (T_h + 1, 1)).astype(np.float32)
+    U_warm = uref.copy()
+
+    u_oracle_all, u_prod_all = [], []
+    for t in range(n_steps):
+        if t == 0:
+            t_x = np.zeros((T_h + 1, nx))
+            t_u = np.zeros((T_h, nu))
+        else:
+            t_x, t_u = native.family_tighten(
+                family, X_warm.astype(np.float64), U_warm.astype(np.float64),
+                np.asarray(gp.var_Z), np.asarray(gp.var_mat),
+                np.asarray(gp.var_mask), inv_ell2, sf2, noise,
+                Ad, Bd_in, Kg, ppf, dt,
+            )
+            t_x = np.minimum(t_x, 0.45 * (s_hi - s_lo))
+            t_u = np.minimum(t_u, 0.45 * (u_hi - u_lo))
+        lx_s = np.tile(s_lo[None], (T_h + 1, 1)) + t_x
+        ux_s = np.tile(s_hi[None], (T_h + 1, 1)) - t_x
+        lu_s = np.tile(u_lo[None], (T_h, 1)) + t_u
+        uu_s = np.tile(u_hi[None], (T_h, 1)) - t_u
+        xref = np.asarray(traj[(t + np.arange(T_h + 1)) % traj.shape[0]], np.float32)
+        X_warm, U_warm = native.family_gpmpc_solve(
+            family, params, dt, np.asarray(gp.Zs, np.float64),
+            np.asarray(gp.alpha_s, np.float64), inv_ell2, sf2,
+            obs_np, xref, uref, qdiag, rdiag, qdiag,
+            lx_s, ux_s, lu_s, uu_s, X_warm, U_warm,
+            sqp_iters=25, qp_iters=30, step_tol=1e-8,
+        )
+        u_o = U_warm[0]
+        u_p, prod_state, _ = prod_step(gp, prod_state, jnp.asarray(obs_np))
+        u_oracle_all.append(u_o.copy())
+        u_prod_all.append(np.asarray(u_p))
+        obs, _, _, _, _ = env.step(u_o)
+        obs_np = np.asarray(obs, np.float32)
+
+    err = np.asarray(u_oracle_all) - np.asarray(u_prod_all)
+    rmse = float(np.sqrt(np.mean(err**2)))
+    assert rmse <= 1e-3, (
+        f"{family} full-episode GP-MPC control RMSE {rmse:.2e} vs the native "
+        "oracle exceeds the 1e-3 parity bar"
+    )
