@@ -44,7 +44,13 @@ def main():
         cache_dir = str(Path(__file__).resolve().parent / ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        # Only cache slow-to-compile programs (the jitted closed-loop step —
+        # minutes cold through the remote-compile tunnel, the round-3 timeout).
+        # Trivial host-CPU programs must NOT land in the cache: XLA:CPU AOT
+        # results are host-feature-specific and this directory persists across
+        # rounds on different machines (observed: cpu_aot_loader feature-
+        # mismatch warnings loading another box's entries).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
     import jax.numpy as jnp
@@ -70,69 +76,105 @@ def main():
     # family registry in ops/pallas_linearize.py); default is the reference's
     # quadrotor problem.
     bench_model = os.environ.get("BENCH_MODEL", "quadrotor")
-    if bench_model == "twolink":
-        from gpmpc_tpu.envs import twolink_env
-        from gpmpc_tpu.models import twolink as twolink_mod
-        from gpmpc_tpu.utils.benchkit import synthetic_twolink_gp_model
 
-        env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
-        model = twolink_mod.symbolic_twolink(dt=0.02)
-        ctrl = GPMPC(
-            model, env.trajectory, None, horizon=horizon,
-            q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
-            sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
-            max_gp_points=gp_points, sqp_iters=6, qp_iters=10, lm_reg=0.5,
-            bounds=(twolink_mod.state_bounds(), twolink_mod.input_bounds()),
-        )
-        gp = synthetic_twolink_gp_model(
-            max_points=gp_points, max_inducing=gp_inducing,
-            n_data=min(gp_data, gp_points), n_train=50,
-        )
-        env_p = env.p
-        env_step_fn = twolink_env.env_step
-        env_reset_fn = twolink_env.env_reset
-    elif bench_model == "cartpole":
-        from gpmpc_tpu.envs import cartpole_env
-        from gpmpc_tpu.models import cartpole as cartpole_mod
-        from gpmpc_tpu.utils.benchkit import synthetic_cartpole_gp_model
+    def build_problem():
+      if bench_model == "twolink":
+          from gpmpc_tpu.envs import twolink_env
+          from gpmpc_tpu.models import twolink as twolink_mod
+          from gpmpc_tpu.utils.benchkit import synthetic_twolink_gp_model
 
-        env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
-        model = cartpole_mod.symbolic_cartpole(dt=0.02)
-        ctrl = GPMPC(
-            model, env.trajectory, None, horizon=horizon,
-            q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
-            sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
-            max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
-            bounds=(cartpole_mod.state_bounds(), cartpole_mod.input_bounds()),
-        )
-        gp = synthetic_cartpole_gp_model(
-            max_points=gp_points, max_inducing=gp_inducing,
-            n_data=min(gp_data, gp_points), n_train=50,
-        )
-        env_p = env.p
-        env_step_fn = cartpole_env.env_step
-        env_reset_fn = cartpole_env.env_reset
-    else:
-        prior_params = reference_prior_dict()
-        env = DroneFigureEightEnv()
-        model = symbolic_attitude(dt=0.02, params=prior_params)
-        ctrl = GPMPC(
-            model, env.trajectory, prior_params, horizon=horizon, q_mpc=Q_MPC, r_mpc=R_MPC,
-            sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
-            max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
-        )
-        # Train the GPs on a synthetic residual dataset at the requested scale so
-        # the bench exercises the real augmented dynamics + tightening path.
-        gp = synthetic_gp_model(
-            max_points=gp_points, max_inducing=gp_inducing,
-            n_data=min(gp_data, gp_points), n_train=50,
-        )
-        from gpmpc_tpu.envs import drone
+          env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.default())
+          model = twolink_mod.symbolic_twolink(dt=0.02)
+          ctrl = GPMPC(
+              model, env.trajectory, None, horizon=horizon,
+              q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
+              sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+              max_gp_points=gp_points, sqp_iters=6, qp_iters=10, lm_reg=0.5,
+              bounds=(twolink_mod.state_bounds(), twolink_mod.input_bounds()),
+          )
+          gp = synthetic_twolink_gp_model(
+              max_points=gp_points, max_inducing=gp_inducing,
+              n_data=min(gp_data, gp_points), n_train=50,
+          )
+          env_p = env.p
+          env_step_fn = twolink_env.env_step
+          env_reset_fn = twolink_env.env_reset
+      elif bench_model == "cartpole":
+          from gpmpc_tpu.envs import cartpole_env
+          from gpmpc_tpu.models import cartpole as cartpole_mod
+          from gpmpc_tpu.utils.benchkit import synthetic_cartpole_gp_model
 
-        env_p = env.p
-        env_step_fn = drone.env_step
-        env_reset_fn = drone.env_reset
+          env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
+          model = cartpole_mod.symbolic_cartpole(dt=0.02)
+          ctrl = GPMPC(
+              model, env.trajectory, None, horizon=horizon,
+              q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+              sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+              max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
+              bounds=(cartpole_mod.state_bounds(), cartpole_mod.input_bounds()),
+          )
+          gp = synthetic_cartpole_gp_model(
+              max_points=gp_points, max_inducing=gp_inducing,
+              n_data=min(gp_data, gp_points), n_train=50,
+          )
+          env_p = env.p
+          env_step_fn = cartpole_env.env_step
+          env_reset_fn = cartpole_env.env_reset
+      else:
+          prior_params = reference_prior_dict()
+          env = DroneFigureEightEnv()
+          model = symbolic_attitude(dt=0.02, params=prior_params)
+          ctrl = GPMPC(
+              model, env.trajectory, prior_params, horizon=horizon, q_mpc=Q_MPC, r_mpc=R_MPC,
+              sparse_gp=True, prob=0.95, max_gp_samples=gp_inducing, seed=1,
+              max_gp_points=gp_points, sqp_iters=6, qp_iters=10,
+          )
+          # Train the GPs on a synthetic residual dataset at the requested scale so
+          # the bench exercises the real augmented dynamics + tightening path.
+          gp = synthetic_gp_model(
+              max_points=gp_points, max_inducing=gp_inducing,
+              n_data=min(gp_data, gp_points), n_train=50,
+          )
+          from gpmpc_tpu.envs import drone
 
+          env_p = env.p
+          env_step_fn = drone.env_step
+          env_reset_fn = drone.env_reset
+
+      return env, model, ctrl, gp, env_p, env_step_fn, env_reset_fn
+
+    env, model, ctrl, gp, env_p, env_step_fn, env_reset_fn = build_problem()
+
+    # BENCH_REAL_GP=1: replace the synthetic GP with one trained from a REAL
+    # prior-controller rollout — collection, preprocessing, and GP training
+    # all run on the LOCAL CPU backend (a second controller instance built
+    # under host_default_device), so the opt-in path adds zero remote-compile
+    # programs or tunnel round-trips to the timed TPU window; the trained
+    # model crosses over as numpy leaves.
+    if os.environ.get("BENCH_REAL_GP", "0") == "1":
+        _progress("BENCH_REAL_GP=1: prior rollout + GP training on host CPU")
+        from gpmpc_tpu.utils.hostmath import host_default_device
+
+        with host_default_device():
+            env_c, model_c, ctrl_c, _, env_p_c, step_c, reset_c = build_problem()
+            n_collect = int(os.environ.get("BENCH_REAL_GP_STEPS", "120"))
+            key = jax.random.PRNGKey(7)
+            st, ob = reset_c(env_p_c, key)
+            X, U = [np.asarray(ob)], []
+            for _ in range(n_collect):
+                u = ctrl_c.prior_ctrl.select_action(np.asarray(ob))
+                st, ob, _, _, _ = step_c(env_p_c, st, jnp.asarray(u))
+                X.append(np.asarray(ob))
+                U.append(u)
+            xi, ti = ctrl_c.preprocess_data(
+                np.asarray(X[:-1]), np.asarray(U), np.asarray(X[1:])
+            )
+            ctrl_c.train_gp(xi, ti, lr=0.05, iterations=100)
+            gp = jax.tree.map(lambda l: np.asarray(l), ctrl_c.gp_model)
+        # One push to the accelerator — numpy leaves would re-transfer on
+        # every timed step otherwise.
+        gp = jax.device_put(gp)
+        _progress(f"BENCH_REAL_GP: trained on {len(U)} real transitions")
     # B=1024 is the measured single-chip throughput sweet spot (87.0k solves/s
     # vs 77.9k at B=512; B=4096 regresses slightly — HBM working set).
     B = int(os.environ.get("BENCH_BATCH", "1024"))

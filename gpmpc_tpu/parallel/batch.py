@@ -31,6 +31,72 @@ from gpmpc_tpu.models.symbolic import SymbolicModel
 from gpmpc_tpu.ops.sqp import SqpConfig
 
 
+def dispatch_decision(
+    cfg: SqpConfig, spec, T: int, gp_batched: bool = False, backend: str = "lanes"
+) -> tuple[str, str]:
+    """(path, reason) the dispatcher will take for this configuration.
+
+    The single source of truth for backend dispatch — `batched_gpmpc_step`
+    executes exactly this decision, the fallback warnings quote its reason,
+    `tests/test_dispatch.py` asserts every cell, and the README dispatch
+    matrix is generated from it (`scripts/gen_dispatch_table.py`). Paths:
+
+      "lanes-fused"  whole-SQP Pallas path (in-kernel linearizer + lanes QP)
+      "lanes"        lanes QP with XLA linearization (jacfwd)
+      "xla"          fully-XLA path (vmapped select_action)
+    """
+    from gpmpc_tpu.ops.sqp_lanes import (
+        MAX_FUSED_HORIZON, lanes_horizon_cap, lanes_serves,
+    )
+
+    if backend != "lanes":
+        return "xla", "requested explicitly"
+    if not lanes_serves(cfg, T):
+        soft = " with soft state bounds" if cfg.soft_x_penalty is not None else ""
+        return "xla", (
+            f"horizon T={T} exceeds the lanes cap ({lanes_horizon_cap(cfg)}{soft}); "
+            "the XLA path serves any horizon (~150x slower per solve at the "
+            "reference problem size — see README dispatch matrix)"
+        )
+    if gp_batched:
+        return "lanes", (
+            "per-scenario GP population: linearization runs vmapped under XLA "
+            "(each scenario has its own Gram); QP + tightening stay in lanes"
+        )
+    if not cfg.kernel_linearize:
+        return "lanes", "kernel_linearize disabled; jacfwd linearization + lanes QP"
+    if not spec.supports_kernel_linearize:
+        return "lanes", (
+            f"model family '{spec.name}' has no in-kernel linearizer closure "
+            "(ops/pallas_linearize.py registry); jacfwd linearization + lanes QP"
+        )
+    if T > MAX_FUSED_HORIZON:
+        return "lanes", (
+            f"horizon T={T} exceeds the fused-path cap ({MAX_FUSED_HORIZON}); "
+            "jacfwd linearization + lanes QP"
+        )
+    return "lanes-fused", "in-kernel linearizer + lanes QP (the flagship path)"
+
+
+# One-time structured fallback warnings (VERDICT r3 item 6: no silent 150x
+# cliff). Keyed by reason so each distinct degradation fires once per process.
+_DISPATCH_WARNED: set[str] = set()
+
+
+def _warn_dispatch(requested: str, path: str, reason: str):
+    if requested == "lanes" and path != "lanes-fused":
+        if reason in _DISPATCH_WARNED:
+            return
+        _DISPATCH_WARNED.add(reason)
+        import warnings
+
+        warnings.warn(
+            f"gpmpc dispatch: lanes backend requested but taking the "
+            f"'{path}' path — {reason}",
+            stacklevel=3,
+        )
+
+
 def batched_gpmpc_step(
     model: SymbolicModel,
     cfg: SqpConfig,
@@ -47,24 +113,23 @@ def batched_gpmpc_step(
     backend="lanes" routes QP solves through the lane-packed Pallas kernel
     (ops/pallas_ocp.py) — the fast path on TPU for B >= 128. var_backend /
     var_bf16 select the tightening-variance path (control/gpmpc.py::
-    batched_variances).
+    batched_variances). Dispatch preserves SEMANTICS first (horizons past the
+    lanes cap for this config take the XLA path, which serves any horizon);
+    every degradation from the requested backend warns once with the reason
+    (`dispatch_decision`).
     """
-    from gpmpc_tpu.ops.sqp_lanes import lanes_serves
-
     T = consts.mpc.uref.shape[0]
-    # Dispatch preserves SEMANTICS first: horizons past the lanes cap for this
-    # config (soft state bounds shrink the streamed kernel's budget) take the
-    # XLA path — which supports soft bounds at any horizon — rather than the
-    # lanes path's hard-bound degradation.
-    if backend == "lanes" and lanes_serves(cfg, T):
+    gp_batched = gp.Zs.ndim == 4  # per-scenario GP population
+    spec = gpmpc_mod.model_spec(model)
+    path, reason = dispatch_decision(cfg, spec, T, gp_batched, backend)
+    _warn_dispatch(backend, path, reason)
+    if path.startswith("lanes"):
         return gpmpc_mod.batched_select_action_lanes(
             model, cfg, consts, gp, states, obs,
             var_backend=var_backend, var_bf16=var_bf16,
         )
-    # Horizons past even the A/B-streaming kernel's resident-state budget fall
-    # back to the XLA path (combine with cfg.parallel_scan for O(log T) depth).
     step = partial(gpmpc_mod.select_action, model, cfg)
-    gp_axis = 0 if gp.Zs.ndim == 4 else None  # per-scenario GP population
+    gp_axis = 0 if gp_batched else None
     return jax.vmap(step, in_axes=(None, gp_axis, 0, 0))(consts, gp, states, obs)
 
 

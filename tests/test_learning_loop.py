@@ -37,7 +37,8 @@ def _quadrotor_setup():
         sparse_gp=True, max_gp_samples=20, seed=1, sqp_iters=6, qp_iters=8,
         max_gp_points=64,
     )
-    return env, ctrl, 60, 0.6  # n_steps, required tail-cost ratio
+    # n_steps, required tail-cost ratio, collection episodes
+    return env, ctrl, 60, 0.6, 1
 
 
 def _cartpole_setup():
@@ -54,7 +55,7 @@ def _cartpole_setup():
         bounds=(cartpole.state_bounds(), cartpole.input_bounds()),
     )
     # measured ratio ~0.25 (prior tail cost 0.202 -> GP 0.050); 0.6 is margin
-    return env, ctrl, 80, 0.6
+    return env, ctrl, 80, 0.6, 1
 
 
 def _twolink_setup():
@@ -64,15 +65,22 @@ def _twolink_setup():
         model, env.trajectory, None, horizon=20,
         q_mpc=[20.0, 20.0, 0.5, 0.5], r_mpc=[0.1, 0.1],
         sparse_gp=False, max_gp_samples=40, seed=1, sqp_iters=8, qp_iters=10,
-        max_gp_points=200, ard_gp=True, lm_reg=0.5,
+        max_gp_points=512, ard_gp=True, lm_reg=0.5,
         bounds=(twolink.state_bounds(), twolink.input_bounds()),
     )
     # The hardest of the three: the inertia-coupled residual generalizes less
     # cleanly off-manifold than the quadrotor/cartpole input-space mismatches,
     # and without lm_reg the full-step SQP limit-cycles on the GP-augmented
-    # OCP (step_norm ~6 — the motivating case for SqpConfig.lm_reg). Measured
-    # tail ratio ~0.80; 0.92 is margin.
-    return env, ctrl, 150, 0.92
+    # OCP (step_norm ~6 — the motivating case for SqpConfig.lm_reg). One
+    # episode of data was the round-3 binding constraint (ratio ~0.80): with
+    # TWO collection episodes (the reference's epoch accumulation,
+    # run_gp_mpc.py:113-118) the exact-GP fit generalizes across the posture
+    # sweep — measured ratio 0.480 (round 4); 0.6 is margin. Fit length
+    # matters: 150 Adam iterations is stable, 200+ over-trains the exact-GP
+    # noise floor at N=300 and the f32 Gram loses positive-definiteness
+    # (select_action then raises on the non-finite action — the documented
+    # failure-detection path, not a silent wrong answer).
+    return env, ctrl, 150, 0.6, 2
 
 
 FAMILIES = {
@@ -96,26 +104,35 @@ def _rollout_cost(env, controller, n):
 @pytest.mark.slow
 @pytest.mark.parametrize("family", sorted(FAMILIES))
 def test_gpmpc_learning_improves_over_prior(family):
-    env, ctrl, n, max_ratio = FAMILIES[family]()
+    env, ctrl, n, max_ratio, n_episodes = FAMILIES[family]()
 
     # 1. Baseline: prior (nominal) controller on the mismatched plant.
     cost_prior = _rollout_cost(env, ctrl.prior_ctrl, n)
 
-    # 2. Collect one prior-controller episode of transitions.
-    obs, _ = env.reset(seed=0)
-    ctrl.prior_ctrl.reset()
-    X, U = [np.asarray(obs)], []
-    for _ in range(n):
-        u = ctrl.prior_ctrl.select_action(obs)
-        obs, _, _, _, _ = env.step(u)
-        X.append(np.asarray(obs))
-        U.append(u)
+    # 2. Collect prior-controller episodes of transitions (n_episodes mirrors
+    # the reference's epoch accumulation, run_gp_mpc.py:113-118; distinct
+    # seeds vary the initial-state noise).
+    xs, us, xns = [], [], []
+    for ep in range(n_episodes):
+        obs, _ = env.reset(seed=ep)
+        ctrl.prior_ctrl.reset()
+        X, U = [np.asarray(obs)], []
+        for _ in range(n):
+            u = ctrl.prior_ctrl.select_action(obs)
+            obs, _, _, _, _ = env.step(u)
+            X.append(np.asarray(obs))
+            U.append(u)
+        xs.append(np.asarray(X[:-1]))
+        us.append(np.asarray(U))
+        xns.append(np.asarray(X[1:]))
 
     # 3. Preprocess -> residual targets via the model's ResidualSpec.
-    xi, ti = ctrl.preprocess_data(np.asarray(X[:-1]), np.asarray(U), np.asarray(X[1:]))
+    xi, ti = ctrl.preprocess_data(
+        np.concatenate(xs), np.concatenate(us), np.concatenate(xns)
+    )
     spec = ctrl.spec
-    assert xi.shape == (n, spec.z_dim)
-    assert ti.shape == (n, spec.num_gps)
+    assert xi.shape == (n * n_episodes, spec.z_dim)
+    assert ti.shape == (n * n_episodes, spec.num_gps)
     # the mismatch must be visible in the targets, else there is nothing to learn
     assert np.max(np.abs(ti.mean(axis=0))) > 0.1
 
@@ -138,7 +155,7 @@ def test_cartpole_gpmpc_improves_over_prior():
     lives in the parametrized family test above (slow partition). Here: a
     minimal non-slow guard that the cartpole GP-MPC step runs end-to-end
     (tightened solve with a trained GP) and stays finite."""
-    env, ctrl, n, _ = _cartpole_setup()
+    env, ctrl, n, _, _ = _cartpole_setup()
     rng = np.random.default_rng(0)
     xi = rng.normal(0, 0.3, (32, ctrl.spec.z_dim)).astype(np.float32)
     ti = rng.normal(0, 0.3, (32, ctrl.spec.num_gps)).astype(np.float32)

@@ -105,7 +105,9 @@ def test_lm_reg_damps_without_moving_fixed_point():
     env = twolink_env.TwoLinkTrackEnv(twolink_env.EnvParams.ideal())
     T, nx, nu = 10, 4, 2
     traj = jnp.asarray(np.asarray(env.trajectory)[: T + 1], jnp.float32)
-    x0 = traj[0] + jnp.asarray([0.05, -0.04, 0.1, -0.1])
+    # pin f32: under the suite's x64 flag an unpinned literal array is f64,
+    # and the SQP carry must be dtype-consistent (production pins f32)
+    x0 = traj[0] + jnp.asarray([0.05, -0.04, 0.1, -0.1], jnp.float32)
     cost = OcpCost(
         xref=traj, uref=jnp.tile(model.u_eq[None], (T, 1)),
         Q=jnp.diag(jnp.asarray(Q, jnp.float32)),
