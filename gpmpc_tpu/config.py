@@ -55,6 +55,12 @@ class GpMpcSection:
     # Levenberg-Marquardt SQP damping (≙ acados levenberg_marquardt): added
     # to the GN Hessian blocks only; 0 = off. See ops/sqp.py SqpConfig.lm_reg.
     lm_reg: float = 0.0
+    # Per-step solve backend of the reference-shaped API: "auto" rides the
+    # lanes padded-tile Pallas path on TPU and falls back to XLA on CPU;
+    # "lanes"/"xla" force it (control/gpmpc.py::GPMPC._resolve_step_backend).
+    step_backend: str = "auto"
+
+    _STEP_BACKENDS = ("auto", "lanes", "xla")
 
     def __post_init__(self):
         if self.prior_params is None or any(
@@ -62,6 +68,11 @@ class GpMpcSection:
         ):
             raise ValueError("gpmpc requires prior_params containing 'a' and 'b'.")
         assert len(self.q_mpc) == 12 and len(self.r_mpc) == 4
+        if self.step_backend not in self._STEP_BACKENDS:
+            raise ValueError(
+                f"step_backend must be one of {self._STEP_BACKENDS}, "
+                f"got {self.step_backend!r}"
+            )
 
 
 @dataclass

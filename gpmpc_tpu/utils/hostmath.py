@@ -22,9 +22,14 @@ import jax
 
 
 def cpu_device():
-    """The local CPU device, or None if the CPU backend is unavailable."""
+    """A PROCESS-LOCAL CPU device, or None if the CPU backend is unavailable.
+
+    `local_devices`, not `devices`: under multi-process `jax.distributed`
+    (tests/test_multihost.py) `jax.devices("cpu")` enumerates the global mesh
+    and index 0 is non-addressable on every process but 0 — eager setup math
+    placed there cannot be fetched."""
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except Exception:
         return None
 

@@ -261,6 +261,7 @@ def run():
         parallel_scan=g.parallel_scan,
         soft_constraints=g.soft_constraints,
         lm_reg=g.lm_reg,
+        step_backend=g.step_backend,
     )
 
     train_runs, test_runs = learn(

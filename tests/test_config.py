@@ -55,3 +55,14 @@ def test_lm_reg_key_parses():
     )
     assert cfg.gpmpc.lm_reg == 0.5
     assert Config.from_dict({}).gpmpc.lm_reg == 0.0
+
+
+def test_step_backend_validated():
+    import pytest
+
+    from gpmpc_tpu.config import GpMpcSection
+
+    assert GpMpcSection().step_backend == "auto"
+    assert GpMpcSection(step_backend="lanes").step_backend == "lanes"
+    with pytest.raises(ValueError, match="step_backend"):
+        GpMpcSection(step_backend="cuda")

@@ -33,7 +33,7 @@ def test_run_multihost_virtual_smoke():
         "--steps", "1", "--horizon", "5", "--backend", "xla",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert '"metric"' in r.stdout and "multihost_4dev" in r.stdout, r.stdout
+    assert '"metric"' in r.stdout and "multihost_1proc_4dev" in r.stdout, r.stdout
 
 
 @pytest.mark.slow
