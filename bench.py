@@ -38,9 +38,22 @@ def main():
     _progress("importing jax")
     import jax
 
+    # Honor JAX_PLATFORMS=cpu (the env var alone does not beat a
+    # site-registered PJRT plugin): enables the CPU smoke test of this whole
+    # script (tests/test_bench_smoke.py) at tiny sizes.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        on_cpu = True
+    else:
+        on_cpu = False
+
     # Persistent compilation cache: the remote-compile service behind the axon
     # tunnel can take minutes per new program; cache executables across runs.
+    # NOT on the CPU backend: XLA:CPU AOT entries are host-feature-specific
+    # and .jax_cache outlives the machine that wrote it.
     try:
+        if on_cpu:
+            raise RuntimeError("no persistent cache on cpu")
         cache_dir = str(Path(__file__).resolve().parent / ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
