@@ -961,6 +961,54 @@ class GPMPC:
         self._step_cfg = self.cfg
         return self._step
 
+    # -- reference-API attribute surface --------------------------------------
+    # Read-only views with the reference's names/orientations so migrating
+    # call sites that POKE at controller internals keep working
+    # (≙ the instance attributes set at gpmpc.py:35-92,366-367; see
+    # tests/test_reference_surface.py).
+
+    @property
+    def gaussian_process(self):
+        """The trained GP ensemble, None before train_gp (≙ gpmpc.py:60,158).
+        Here one padded `GpModel` pytree instead of a list of torch modules."""
+        return self.gp_model if bool(self.gp_model.trained) else None
+
+    @property
+    def gp_idx(self):
+        """Per-GP input-slice indices (≙ gpmpc.py:59)."""
+        return [list(i) for i in self.spec.gp_idx]
+
+    @property
+    def traj_step(self) -> int:
+        return int(self.state.traj_step)
+
+    @property
+    def x_prev(self):
+        """Previous solution, (nx, T+1) — reference orientation
+        (≙ gpmpc.py:366); None before the first solve."""
+        if int(self.state.traj_step) == 0:
+            return None
+        return np.asarray(self.state.X_warm).T
+
+    @property
+    def u_prev(self):
+        if int(self.state.traj_step) == 0:
+            return None
+        return np.asarray(self.state.U_warm).T
+
+    @property
+    def ref_action(self):
+        """(nu, T) input reference (≙ gpmpc.py:54)."""
+        return np.asarray(self.consts.mpc.uref).T
+
+    @property
+    def lqr_gain(self):
+        return np.asarray(self.consts.lqr_gain)
+
+    @property
+    def inverse_cdf(self) -> float:
+        return float(self.consts.inverse_cdf)
+
     # -- training-data path ---------------------------------------------------
 
     def preprocess_data(self, x, u, x_next):
