@@ -191,10 +191,15 @@ def main():
     # B=1024 is the measured single-chip throughput sweet spot (87.0k solves/s
     # vs 77.9k at B=512; B=4096 regresses slightly — HBM working set).
     B = int(os.environ.get("BENCH_BATCH", "1024"))
-    # 60 steps ≈ 0.7 s of work at the default config: the ~27 ms fixed
+    # Default window: 60 steps at B=1024 ≈ 0.7 s of work — the ~27-50 ms fixed
     # device_get RTT of the axon tunnel (measured) stays ~4% of the window
     # (measured 91.6k solves/s at 60 steps vs 92.6k at 120 — converged).
-    n_timed_steps = int(os.environ.get("BENCH_STEPS", "60"))
+    # Smaller batches keep the SAME window duration by scaling the step count
+    # (B=256 at 60 steps is a 0.36 s window where the fixed RTT alone reads as
+    # a ~10% throughput loss — measured 42.3k vs 48.9k at config 4).
+    n_timed_steps = int(
+        os.environ.get("BENCH_STEPS", str(max(60, (60 * 1024) // max(B, 1))))
+    )
     backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
     # In-kernel adaptive IP exit (acados semantics: exit at tolerance, max_iter
     # as cap). Default-on at gap<=1e-7: warm-started solves converge in 2-3 IP
