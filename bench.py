@@ -284,10 +284,15 @@ def main():
     # Warm-up: compile + two steps (past the cold-start solve into the
     # warm-started tightening-active regime).
     _progress("compiling closed_loop_step (the big program; minutes cold, fast on cache hit)")
-    for i in range(2):
-        env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
-        if i == 0:
-            _progress("closed_loop_step compiled; warming up")
+    # First fetch after ONE step, not two: the remote service can queue the
+    # first executions behind other tenants for minutes (observed 0.6s-824s,
+    # uncorrelated with local load) — barrier as early as possible so the
+    # provisional number lands at the earliest instant the service allows.
+    env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
+    _progress("closed_loop_step compiled; executing first step (service-queue wait shows here)")
+    jax.device_get(u)
+    _progress("first step done; second warmup step")
+    env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)
     jax.device_get(u)
     _progress("warmup done; provisional window starts")
 
