@@ -84,17 +84,22 @@ _DISPATCH_WARNED: set[str] = set()
 
 
 def _warn_dispatch(requested: str, path: str, reason: str):
-    if requested == "lanes" and path != "lanes-fused":
-        if reason in _DISPATCH_WARNED:
-            return
-        _DISPATCH_WARNED.add(reason)
-        import warnings
+    # Explicit user choices (backend="xla", kernel_linearize=False) are not
+    # degradations and stay silent; everything else that lands below the
+    # flagship path warns once (horizon cap, missing family closure, GP
+    # population — the VERDICT-r3 silent-fallback list).
+    if requested != "lanes" or path == "lanes-fused" or "disabled" in reason:
+        return
+    if reason in _DISPATCH_WARNED:
+        return
+    _DISPATCH_WARNED.add(reason)
+    import warnings
 
-        warnings.warn(
-            f"gpmpc dispatch: lanes backend requested but taking the "
-            f"'{path}' path — {reason}",
-            stacklevel=3,
-        )
+    warnings.warn(
+        f"gpmpc dispatch: lanes backend requested but taking the "
+        f"'{path}' path — {reason}",
+        stacklevel=3,
+    )
 
 
 def batched_gpmpc_step(
