@@ -43,9 +43,10 @@ def main():
     # script (tests/test_bench_smoke.py) at tiny sizes.
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-        on_cpu = True
-    else:
-        on_cpu = False
+    # Decide from the ACTUAL backend, not the env request: a machine whose
+    # default platform is CPU (no TPU plugin) must also skip the persistent
+    # cache, or its host-specific XLA:CPU AOT entries corrupt the shared dir.
+    on_cpu = jax.default_backend() == "cpu"
 
     # Persistent compilation cache: the remote-compile service behind the axon
     # tunnel can take minutes per new program; cache executables across runs.
@@ -315,8 +316,11 @@ def main():
     # the driver still captures an honest (slightly noisier) number. A
     # backward-scanning parser picks up the final line; a forward-scanning one
     # gets this conservative measurement. Both are real.
+    # The provisional always uses the chained `step` program (already warmed
+    # above) — BENCH_FUSED only changes the FINAL window, so fused runs keep
+    # the early-number safety net too.
     prov_steps = int(os.environ.get("BENCH_PROV_STEPS", "8"))
-    if prov_steps > 0 and not fused:
+    if prov_steps > 0:
         t0 = time.perf_counter()
         for _ in range(prov_steps):
             env_states, ctrl_states, obs, u = step(ctrl.consts, gp, env_states, ctrl_states, obs)

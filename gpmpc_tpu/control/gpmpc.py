@@ -916,9 +916,13 @@ class GPMPC:
         #              plain XLA path on CPU (Pallas would need interpret mode)
         #   "lanes" / "xla" -> forced (lanes on CPU implies interpret=True,
         #              for parity tests)
+        if step_backend not in ("auto", "lanes", "xla"):
+            raise ValueError(
+                f"step_backend must be 'auto', 'lanes' or 'xla', got {step_backend!r}"
+            )
         self.step_backend = step_backend
         self._step = None
-        self._step_cfg = None
+        self._step_key = None
         self._train_fns: dict = {}  # (iterations, lr) -> jitted training program
 
     def _resolve_step_backend(self) -> str:
@@ -934,10 +938,13 @@ class GPMPC:
         return "lanes" if (on_accel and lanes_serves(self.cfg, self.T)) else "xla"
 
     def _get_step(self):
-        """(Re)build the jitted per-step program when cfg changed."""
-        if self._step is not None and self._step_cfg == self.cfg:
+        """(Re)build the jitted per-step program when cfg or backend changed."""
+        key = (self.cfg, self.step_backend)
+        if self._step is not None and self._step_key == key:
             return self._step
         backend = self._resolve_step_backend()
+        if backend not in ("lanes", "xla"):
+            raise ValueError(f"step_backend resolved to invalid {backend!r}")
         if backend == "lanes":
             interpret = jax.default_backend() == "cpu"
             model, cfg = self.model, self.cfg
@@ -958,7 +965,7 @@ class GPMPC:
             self._step = jax.jit(one)
         else:
             self._step = jax.jit(partial(select_action, self.model, self.cfg))
-        self._step_cfg = self.cfg
+        self._step_key = key
         return self._step
 
     # -- reference-API attribute surface --------------------------------------

@@ -84,22 +84,36 @@ def orchestrate_virtual_hosts(args) -> int:
     ]
     if args.parity:
         base.append("--parity")
+    # Workers write to temp files, not PIPEs: a later worker filling a 64KB
+    # pipe while an earlier one is barriered in a collective would deadlock a
+    # sequential drain.
+    import tempfile
+
+    logs = [tempfile.TemporaryFile(mode="w+", prefix=f"vhost{i}_") for i in range(n)]
     procs = [
         subprocess.Popen(
             base + ["--process-id", str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=logs[i], stderr=subprocess.STDOUT, text=True,
         )
         for i in range(n)
     ]
     rc = 0
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
+        try:
+            p.wait(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rc = rc or 1
         if p.returncode != 0:
             rc = p.returncode or 1
+    for i, f in enumerate(logs):
+        f.seek(0)
         # Process 0 carries the metric line; echo every host's output with a
         # prefix so failures are diagnosable from the orchestrator's log.
-        for line in out.splitlines():
+        for line in f.read().splitlines():
             print(line if i == 0 and not line.startswith("[") else f"[host{i}] {line}")
+        f.close()
     return rc
 
 

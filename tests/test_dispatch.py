@@ -163,3 +163,28 @@ def test_wrapper_lanes_backend_parity():
         actions[backend] = np.asarray(us)
 
     np.testing.assert_allclose(actions["lanes"], actions["xla"], atol=2e-4)
+
+
+def test_readme_dispatch_table_matches_generator():
+    """The README's dispatch matrix must be the VERBATIM output of
+    scripts/gen_dispatch_table.py — the single-source-of-truth contract both
+    claim. Regenerate with `python scripts/gen_dispatch_table.py` on drift."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "scripts/gen_dispatch_table.py"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    table = r.stdout.strip()
+    readme = (repo / "README.md").read_text()
+    assert table in readme, (
+        "README dispatch matrix drifted from scripts/gen_dispatch_table.py "
+        "output — regenerate and paste verbatim"
+    )
