@@ -61,13 +61,13 @@ def _t(x):
     return jnp.swapaxes(x, 0, 1)
 
 
-def _chol4_solve(G, rhs):
-    """Solve G X = rhs for SPD G: (n, n, L), rhs: (n, m, L) -> (n, m, L).
+def _chol4_factor(G):
+    """Lane-wise Cholesky factor of SPD G (n, n, L) -> lower-triangular rows
+    as a list-of-lists of (L,) vectors (entries above the diagonal are None).
 
-    Unrolled lane-wise Cholesky — every scalar of the textbook n x n algorithm
-    is a 128-lane vector here. n is the (small, trace-time) input dimension:
-    4 for the quadrotor, 1 for the cartpole; the loops unroll at trace time.
-    """
+    Every scalar of the textbook n x n algorithm is a 128-lane vector here.
+    n is the (small, trace-time) input dimension: 4 for the quadrotor, 1 for
+    the cartpole; the loops unroll at trace time."""
     n = G.shape[0]
     g = [[G[i, j] for j in range(n)] for i in range(n)]
     l = [[None] * n for _ in range(n)]
@@ -82,6 +82,29 @@ def _chol4_solve(G, rhs):
             for k in range(j):
                 s = s - l[i][k] * l[j][k]
             l[i][j] = s * inv
+    return l
+
+
+def _chol4_pack(l):
+    """Lower-triangular factor rows -> a dense (n, n, L) array (upper = 0),
+    for storing the factorization in scratch across Newton solves."""
+    n = len(l)
+    zero = jnp.zeros_like(l[0][0])
+    return jnp.stack(
+        [jnp.stack([l[i][j] if j <= i else zero for j in range(n)]) for i in range(n)]
+    )
+
+
+def _chol4_unpack(lmat):
+    """(n, n, L) packed factor -> list-of-lists of (L,) vectors."""
+    n = lmat.shape[0]
+    return [[lmat[i, j] if j <= i else None for j in range(n)] for i in range(n)]
+
+
+def _chol4_sub(l, rhs):
+    """Triangular substitutions with a precomputed factor: solve L L' X = rhs,
+    rhs (n, m, L) -> (n, m, L)."""
+    n = len(l)
     # forward substitution L y = rhs
     y = [None] * n
     for i in range(n):
@@ -97,6 +120,11 @@ def _chol4_solve(G, rhs):
             s = s - l[k][i][None, :] * x[k]
         x[i] = s / l[i][i][None, :]
     return jnp.stack(x, axis=0)
+
+
+def _chol4_solve(G, rhs):
+    """Solve G X = rhs for SPD G: (n, n, L), rhs: (n, m, L) -> (n, m, L)."""
+    return _chol4_sub(_chol4_factor(G), rhs)
 
 
 class LanesQp(NamedTuple):
@@ -127,10 +155,11 @@ def _ip_kernel_body(
     lx_ref, ux_ref, lu_ref, uu_ref,
     # outputs
     dx_out, du_out, gap_out,
-    # scratch (+ elx_s, eux_s appended when soft_rho is not None)
+    # scratch (mehrotra appends Pr_s/lchol_s/Gxu_s — the shared-factorization
+    # stores; soft_rho appends elx_s/eux_s/nulx_s/nuux_s after those)
     dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
     K_s, kff_s, rdyn_s, qhat_s, rhat_s, sigx_s, sigu_s, mu_s,
-    *soft_scratch,
+    *extra_scratch,
 ):
     T = A_ref.shape[0]
     nx = A_ref.shape[1]
@@ -138,8 +167,12 @@ def _ip_kernel_body(
     L = A_ref.shape[3]
     f32 = jnp.float32
     soft = soft_rho is not None
+    rest = list(extra_scratch)
+    if mehrotra:
+        Pr_s, lchol_s, Gxu_s = rest[:3]
+        rest = rest[3:]
     if soft:
-        elx_s, eux_s, nulx_s, nuux_s = soft_scratch
+        elx_s, eux_s, nulx_s, nuux_s = rest
 
     # ---- init: dx = du = 0, slacks clipped to the interior, duals mu0/s ----
     s_min = 1e-2
@@ -179,10 +212,19 @@ def _ip_kernel_body(
     def ratio(v, d, t):
         return jnp.where(d < 0, -t * v / jnp.minimum(d, -1e-30), jnp.inf)
 
-    def solve_newton(corr_x, corr_u):
+    def solve_newton(corr_x, corr_u, matrix=True):
         """Backward Riccati sweep + forward rollout for the Newton system with
         the given complementarity corrections. Barrier diagonals (sigx_s/sigu_s)
-        and rdyn_s must already be staged; returns (ddx, ddu)."""
+        and rdyn_s must already be staged; returns (ddx, ddu).
+
+        matrix=False (Mehrotra corrector): the KKT matrix is unchanged from the
+        affine predictor (the barrier weights are fixed within an IP iteration;
+        corrections only move the RHS), so the sweep reuses the affine pass's
+        per-stage stores — Pr = P_{k+1} @ rdyn_k, the Guu Cholesky factor, and
+        Gxu — and runs the VECTOR recursion only: no _mm matrix products, no
+        refactorization. This is the textbook predictor-corrector structure
+        (factorize once, two triangular solves) and cuts the corrector sweep
+        ~10x; measured impact recorded in docs/EXPERIMENTS_r5.md."""
         dx = dx_s[...]
         du = du_s[...]
         qhat_s[...] = qdiag_ref[...] * dx + qx_ref[...] - llx_s[...] + lux_s[...] + corr_x
@@ -192,29 +234,47 @@ def _ip_kernel_body(
         # Mosaic has no scatter: diagonal updates are eye-mask broadcasts.
         eye_x = jnp.eye(nx, dtype=f32)[:, :, None]  # (nx, nx, 1)
         eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
-        P = eye_x * (qdiag_ref[T] + sigx_s[T])[None, :, :]
-        p = qhat_s[T]
-        for k in range(T - 1, -1, -1):
-            Ak = A_ref[k]
-            Bk = B_ref[k]
-            Fr_p = _mv(P, rdyn_s[k]) + p
-            AtP = _mm(_t(Ak), P)
-            BtP = _mm(_t(Bk), P)
-            Gxx = _mm(AtP, Ak) + eye_x * (qdiag_ref[k] + sigx_s[k])[None, :, :]
-            Guu = _mm(BtP, Bk) + eye_u * (rdiag_ref[k] + sigu_s[k])[None, :, :]
-            Gxu = _mm(AtP, Bk)
-            gx = qhat_s[k] + _mv(_t(Ak), Fr_p)
-            gu = rhat_s[k] + _mv(_t(Bk), Fr_p)
+        if matrix:
+            P = eye_x * (qdiag_ref[T] + sigx_s[T])[None, :, :]
+            p = qhat_s[T]
+            for k in range(T - 1, -1, -1):
+                Ak = A_ref[k]
+                Bk = B_ref[k]
+                Pr = _mv(P, rdyn_s[k])
+                Fr_p = Pr + p
+                AtP = _mm(_t(Ak), P)
+                BtP = _mm(_t(Bk), P)
+                Gxx = _mm(AtP, Ak) + eye_x * (qdiag_ref[k] + sigx_s[k])[None, :, :]
+                Guu = _mm(BtP, Bk) + eye_u * (rdiag_ref[k] + sigu_s[k])[None, :, :]
+                Gxu = _mm(AtP, Bk)
+                gx = qhat_s[k] + _mv(_t(Ak), Fr_p)
+                gu = rhat_s[k] + _mv(_t(Bk), Fr_p)
 
-            rhs = jnp.concatenate([_t(Gxu), gu[:, None, :]], axis=1)  # (nu, nx+1, L)
-            sol = _chol4_solve(Guu, rhs)
-            K = -sol[:, :nx, :]
-            kff = -sol[:, nx, :]
-            K_s[k] = K
-            kff_s[k] = kff
-            P = Gxx + _mm(Gxu, K)
-            P = 0.5 * (P + _t(P))
-            p = gx + _mv(Gxu, kff)
+                rhs = jnp.concatenate([_t(Gxu), gu[:, None, :]], axis=1)  # (nu, nx+1, L)
+                lfac = _chol4_factor(Guu)
+                if mehrotra:
+                    Pr_s[k] = Pr
+                    lchol_s[k] = _chol4_pack(lfac)
+                    Gxu_s[k] = Gxu
+                sol = _chol4_sub(lfac, rhs)
+                K = -sol[:, :nx, :]
+                kff = -sol[:, nx, :]
+                K_s[k] = K
+                kff_s[k] = kff
+                P = Gxx + _mm(Gxu, K)
+                P = 0.5 * (P + _t(P))
+                p = gx + _mv(Gxu, kff)
+        else:
+            # Vector-only corrector sweep over the stored factorization. K_s is
+            # already correct (same KKT matrix); only kff changes.
+            p = qhat_s[T]
+            for k in range(T - 1, -1, -1):
+                Fr_p = Pr_s[k] + p
+                gx = qhat_s[k] + _mv(_t(A_ref[k]), Fr_p)
+                gu = rhat_s[k] + _mv(_t(B_ref[k]), Fr_p)
+                kff = -_chol4_sub(_chol4_unpack(lchol_s[k]), gu[:, None, :])[:, 0, :]
+                kff_s[k] = kff
+                p = gx + _mv(Gxu_s[k], kff)
 
         # ---- forward rollout ----
         ddx_prev = jnp.zeros((nx, L), f32)
@@ -270,7 +330,7 @@ def _ip_kernel_body(
                 _mv(A_ref[k], dx_s[k]) + _mv(B_ref[k], du_s[k]) + r_ref[k] - dx_s[k + 1]
             )
 
-        def directions(r_clx, r_cux, r_clu, r_cuu, r_elx=None, r_eux=None):
+        def directions(r_clx, r_cux, r_clu, r_cuu, r_elx=None, r_eux=None, matrix=True):
             if soft:
                 # cg = w * (r_s + r_c/lam - r_e/nu), fused over den (boxqp.py).
                 cg_lx = (llx * nulx * r_slx + nulx * r_clx - llx * r_elx) / den_lx
@@ -279,7 +339,7 @@ def _ip_kernel_body(
             else:
                 corr_x = (r_clx + llx * r_slx) / slx - (r_cux + lux * r_sux) / sux
             corr_u = (r_clu + llu * r_slu) / slu - (r_cuu + luu * r_suu) / suu
-            ddx, ddu = solve_newton(corr_x, corr_u)
+            ddx, ddu = solve_newton(corr_x, corr_u, matrix=matrix)
             if soft:
                 dl_lx = -(w_lx * ddx + cg_lx)
                 dl_ux = w_ux * ddx - cg_ux
@@ -363,7 +423,9 @@ def _ip_kernel_body(
             # where f32 barrier weights break the Riccati (see boxqp.py).
             target = jnp.maximum(sig * gap_now, 1e-8 if soft else 1e-14)[None, None, :]
             # Corrector: centering + second-order ds_aff*dlam_aff terms
-            # (d(e)*d(nu) = -de_aff * dlam_aff for the soft pairs).
+            # (d(e)*d(nu) = -de_aff * dlam_aff for the soft pairs). Same KKT
+            # matrix as the affine predictor -> vector-only sweep over the
+            # stored factorization (matrix=False).
             ddx, ddu, ds, dl, de = directions(
                 slx * llx + ds_a[0] * dl_a[0] - target,
                 sux * lux + ds_a[1] * dl_a[1] - target,
@@ -371,6 +433,7 @@ def _ip_kernel_body(
                 suu * luu + ds_a[3] * dl_a[3] - target,
                 elx * nulx - de_a[0] * dl_a[0] - target if soft else None,
                 eux * nuux - de_a[1] * dl_a[1] - target if soft else None,
+                matrix=False,
             )
         else:
             ddx, ddu, ds, dl, de = directions(
@@ -1104,6 +1167,14 @@ def solve_ocp_qp_lanes(
         pltpu.VMEM((T, nu, L), f32),  # sigma_u
         pltpu.VMEM((1, L), f32),  # mu (adaptive-exit carry)
     ]
+    if mehrotra:
+        # Shared-factorization stores: the corrector reuses the affine pass's
+        # KKT factorization (vector-only sweep) — see solve_newton.
+        scratch += [
+            pltpu.VMEM((T, nx, L), f32),  # Pr = P_{k+1} @ rdyn_k
+            pltpu.VMEM((T, nu, nu, L), f32),  # Guu Cholesky factor (lower)
+            pltpu.VMEM((T, nx, nu, L), f32),  # Gxu
+        ]
     if soft_rho is not None:
         scratch += [
             pltpu.VMEM((T + 1, nx, L), f32),  # e_lx (soft violation slack)
