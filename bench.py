@@ -217,6 +217,11 @@ def main():
         ctrl.cfg = ctrl.cfg._replace(kernel_linearize=True)
     if os.environ.get("BENCH_MEHROTRA", "1") == "1":
         ctrl.cfg = ctrl.cfg._replace(qp_mehrotra=True)
+    if os.environ.get("BENCH_PSCAN", "0") == "1":
+        # O(log T) associative-scan Riccati inside the XLA backend's Newton
+        # solves (ops/riccati_parallel.py) — the long-horizon candidate past
+        # the lanes cap. Measurements: docs/EXPERIMENTS_r5.md §2.
+        ctrl.cfg = ctrl.cfg._replace(parallel_scan=True)
     if os.environ.get("BENCH_WARM_SHIFT", "0") == "1":
         # RTI-style time-aligned warm start (ops/sqp.py SqpConfig.warm_shift).
         ctrl.cfg = ctrl.cfg._replace(warm_shift=True)
@@ -298,15 +303,18 @@ def main():
     _progress("warmup done; provisional window starts")
 
     def emit(sps, provisional=False):
-        line = json.dumps(
-            {
-                "metric": "gpmpc_solves_per_sec_1chip"
-                + ("" if bench_model == "quadrotor" else f"_{bench_model}"),
-                "value": round(sps, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(sps / NORTH_STAR, 4),
-            }
-        )
+        payload = {
+            "metric": "gpmpc_solves_per_sec_1chip"
+            + ("" if bench_model == "quadrotor" else f"_{bench_model}"),
+            "value": round(sps, 2),
+            "unit": "solves/s",
+            "vs_baseline": round(sps / NORTH_STAR, 4),
+        }
+        if provisional:
+            # Mechanical marker so a forward-scanning parser can distinguish
+            # the noisier early-safety-net line from the final measurement.
+            payload["provisional"] = True
+        line = json.dumps(payload)
         print(line, flush=True)
         if provisional:
             _progress("provisional JSON emitted (superseded by the final line if it lands)")

@@ -927,6 +927,19 @@ class GPMPC:
 
     def _resolve_step_backend(self) -> str:
         if self.step_backend != "auto":
+            if self.step_backend == "lanes":
+                # Forced lanes must still satisfy the horizon caps — fail at
+                # construction/first-step with a named error instead of a
+                # trace-time failure deep inside the lanes kernel.
+                from gpmpc_tpu.ops.sqp_lanes import lanes_horizon_cap, lanes_serves
+
+                if not lanes_serves(self.cfg, self.T):
+                    raise ValueError(
+                        f"step_backend='lanes' forced but horizon T={self.T} "
+                        f"exceeds the lanes cap ({lanes_horizon_cap(self.cfg)}"
+                        f"{' with soft state bounds' if self.cfg.soft_x_penalty is not None else ''}); "
+                        "use step_backend='xla' or 'auto'"
+                    )
             return self.step_backend
         # The reference API is single-scenario; on TPU the padded single-tile
         # lanes solve is ~3.5x faster per step than the XLA path (README), so

@@ -97,11 +97,51 @@ def _masked_gram(data: GPData, hypers: GPHypers) -> jax.Array:
     return K + jnp.diag(diag)
 
 
+# Escalation multipliers for `_robust_cholesky`. Long Adam runs (the config
+# default is `iterations: 500`) over-train the likelihood noise toward zero
+# until the f32 Gram loses positive-definiteness — at the reference's own
+# default training length this was a crash, not a fit-quality issue (round-4
+# verdict item 3). Each level retries with 10x more outputscale-relative
+# jitter; level 0 is the plain factorization.
+_JITTER_ESCALATION = (10.0, 100.0, 1e3, 1e4)
+
+
+def _robust_cholesky(data: GPData, hypers: GPHypers) -> jax.Array:
+    """Cholesky of the masked Gram with bounded jitter escalation.
+
+    Tries the plain factorization first; on a non-finite result (f32
+    positive-definiteness loss) retries with 10x/100x/1e3x/1e4x the base
+    outputscale-relative jitter on the active diagonal. jit-stable (lax.cond
+    per level — the retries cost nothing on the healthy path under jit; under
+    vmap they lower to batched selects, still bounded). The escalated jitter
+    acts as a proximal floor on the noise: the MLL sees a valid matrix and
+    training continues instead of poisoning the hypers with NaN gradients."""
+    K = _masked_gram(data, hypers)
+    base = 1e-6 * hypers.outputscale
+
+    def body(carry, mult):
+        chol, ok = carry
+
+        def retry(_):
+            c = jnp.linalg.cholesky(K + jnp.diag(base * mult * data.mask))
+            return c, jnp.all(jnp.isfinite(c))
+
+        chol, ok = jax.lax.cond(ok, lambda _: (chol, ok), retry, None)
+        return (chol, ok), None
+
+    c0 = jnp.linalg.cholesky(K)
+    (chol, _), _ = jax.lax.scan(
+        body,
+        (c0, jnp.all(jnp.isfinite(c0))),
+        jnp.asarray(_JITTER_ESCALATION, K.dtype),
+    )
+    return chol
+
+
 def marginal_log_likelihood(hypers: GPHypers, data: GPData) -> jax.Array:
     """Exact MLL averaged over active points (GPyTorch ExactMarginalLogLikelihood
     semantics: `loss = -mll(output, y)` at gp.py:62 is per-datum)."""
-    K = _masked_gram(data, hypers)
-    chol = jnp.linalg.cholesky(K)
+    chol = _robust_cholesky(data, hypers)
     alpha = jax.scipy.linalg.cho_solve((chol, True), data.y)
     n = jnp.maximum(jnp.sum(data.mask), 1.0)
     quad = jnp.dot(data.y, alpha)
@@ -159,13 +199,27 @@ def fit_gp(
     def body(carry, _):
         h, adam, last_loss, frozen = carry
         loss, g = grad_fn(h)
+        # Belt-and-braces under the jitter escalation: if a step still produces
+        # a non-finite loss/gradient (all escalation levels failed), skip the
+        # update instead of poisoning the hypers — the fit recovers on the next
+        # finite step rather than NaN-ing every later iteration.
+        finite = jnp.logical_and(
+            jnp.isfinite(loss),
+            jax.tree.reduce(
+                jnp.logical_and,
+                jax.tree.map(lambda g_: jnp.all(jnp.isfinite(g_)), g),
+            ),
+        )
+        skip = jnp.logical_or(frozen, jnp.logical_not(finite))
         step, adam_new = _adam_update(g, adam, lr)
         h_new = jax.tree.map(lambda p, s: p - s, h, step)
         # Early stopping if converged (gp.py:65-66): freeze all later updates.
-        now_frozen = jnp.logical_or(frozen, jnp.abs(last_loss - loss) < 1e-3)
-        h_out = jax.tree.map(lambda old, new: jnp.where(frozen, old, new), h, h_new)
-        adam_out = jax.tree.map(lambda old, new: jnp.where(frozen, old, new), adam, adam_new)
-        loss_out = jnp.where(frozen, last_loss, loss)
+        now_frozen = jnp.logical_or(
+            frozen, jnp.logical_and(finite, jnp.abs(last_loss - loss) < 1e-3)
+        )
+        h_out = jax.tree.map(lambda old, new: jnp.where(skip, old, new), h, h_new)
+        adam_out = jax.tree.map(lambda old, new: jnp.where(skip, old, new), adam, adam_new)
+        loss_out = jnp.where(skip, last_loss, loss)
         return (h_out, adam_out, loss_out, now_frozen), None
 
     init = (hypers, adam0, jnp.asarray(jnp.inf, data.x.dtype), jnp.asarray(False))
@@ -175,9 +229,8 @@ def fit_gp(
 
 def posterior(hypers: GPHypers, data: GPData) -> GPPosterior:
     """Factorize K + sigma^2 I and cache alpha = K^-1 y (≙ compute_covariances,
-    gp.py:43-46, but Cholesky-based)."""
-    K = _masked_gram(data, hypers)
-    chol = jnp.linalg.cholesky(K)
+    gp.py:43-46, but Cholesky-based; same jitter escalation as the fit)."""
+    chol = _robust_cholesky(data, hypers)
     alpha = jax.scipy.linalg.cho_solve((chol, True), data.y)
     return GPPosterior(chol=chol, alpha=alpha)
 

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gpmpc_tpu.ops.pallas_ocp import VMEM_LIMIT_BYTES
+
 from gpmpc_tpu.ops.pallas_ocp import _mm
 
 NX = 12
@@ -440,6 +442,7 @@ def linearize_ocp_lanes(
             jax.ShapeDtypeStruct((T, nx, nu, L), f32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(
         params8.astype(f32)[None, :],
         hyp.astype(f32),

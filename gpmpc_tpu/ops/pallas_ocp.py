@@ -36,6 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # scenario tile width (lane dimension)
 
+# Scoped-VMEM budget requested for the QP kernels. The Mosaic default (16 MiB)
+# is a compiler default, NOT the physical per-core VMEM: a 120 MB scratch
+# allocation compiles and runs on the v5e this repo benches on (measured,
+# docs/EXPERIMENTS_r5.md). 112 MB keeps headroom for XLA-managed buffers of
+# the surrounding program while letting the all-resident kernel serve the
+# horizons that previously forced DMA streaming.
+VMEM_LIMIT_BYTES = 112 * 1024 * 1024
+
 
 def _mm(x, y):
     """Lane-wise matmul: (a, b, L) @ (b, c, L) -> (a, c, L).
@@ -1010,6 +1018,689 @@ def _stream_chunk_size(T: int) -> int:
     return 1
 
 
+def _ip_kernel_body_streamed2(
+    n_ip: int, mu0: float, sigma: float, tau: float, adaptive_tol, mehrotra: bool,
+    soft_rho, C: int,
+    # inputs streamed from HBM per C-stage chunk (stages 0..T-1 only; the
+    # terminal rows of the (T+1)-sized arrays arrive as separate VMEM refs so
+    # every chunk is the same static size)
+    A_hbm, B_hbm, r_hbm, qd_hbm, qx_hbm, rd_hbm, ru_hbm, lx_hbm, ux_hbm,
+    # inputs resident in VMEM (small)
+    lu_ref, uu_ref, qdT_ref, qxT_ref, lxT_ref, uxT_ref,
+    # outputs: dx/du/K live in HBM (ANY) — dx/du are DMA'd out once at the end,
+    # K is the backward->forward spill surface; gap stays VMEM
+    dx_out, du_out, K_any, gap_out,
+    # scratch (mehrotra appends ddxa_s/ddua_s; soft appends its four arrays)
+    *scratch,
+):
+    """Tier-2 streaming: the long-horizon kernel past the tier-1 cap (T=112).
+
+    Tier 1 (`_ip_kernel_body_streamed`) streams only A/B and walls at the
+    resident vector state (~134 KiB/stage incl. the read-only QP data and the
+    K gains). Here everything read-only (QP cost data, dynamics residual
+    offsets, state boxes) streams through double-buffered C-stage chunks in
+    every phase that touches it, and the feedback gains K — written by the
+    backward sweep, read by the rollout — spill to HBM through the same chunk
+    pipeline (Mosaic has no HBM scratch, so K rides an ANY-space output).
+    Resident per stage: the IP state vectors only (~68 KiB hard / ~92 KiB
+    soft with Mehrotra), lifting the lanes cap to T≈200 (hard) / 144 (soft).
+
+    IP semantics identical to the other two kernels (verified in
+    tests/test_pallas_ocp.py against the ops/boxqp.py reference)."""
+    (
+        dx_s, du_s, slx_s, sux_s, slu_s, suu_s, llx_s, lux_s, llu_s, luu_s,
+        kff_s, rdyn_s, mu_s, ddx_s, ddu_s,
+        Abuf, Bbuf, rbuf, qdbuf, qxbuf, rdbuf, rubuf, lxbuf, uxbuf, Kbuf,
+        ab_sem, qpd_sem, bnd_sem, kout_sem, kin_sem, out_sem,
+    ) = scratch[:31]
+    soft = soft_rho is not None
+    rest = list(scratch[31:])
+    if mehrotra:
+        ddxa_s, ddua_s = rest[:2]
+        rest = rest[2:]
+    else:
+        ddxa_s = ddua_s = None
+    if soft:
+        elx_s, eux_s, nulx_s, nuux_s = rest
+    else:
+        elx_s = eux_s = nulx_s = nuux_s = None
+
+    T = rdyn_s.shape[0]
+    nx = rdyn_s.shape[1]
+    nu = du_s.shape[1]
+    L = rdyn_s.shape[2]
+    n_chunks = T // C
+    f32 = jnp.float32
+
+    # ---- DMA plumbing: three read groups + the K spill ----
+    def _group(pairs, sems, slot, ci):
+        return [
+            pltpu.make_async_copy(h.at[pl.ds(ci * C, C)], b.at[slot], sems.at[slot, i])
+            for i, (h, b) in enumerate(pairs)
+        ]
+
+    AB = lambda slot, ci: _group([(A_hbm, Abuf), (B_hbm, Bbuf)], ab_sem, slot, ci)
+    QPD = lambda slot, ci: _group(
+        [(r_hbm, rbuf), (qd_hbm, qdbuf), (qx_hbm, qxbuf), (rd_hbm, rdbuf),
+         (ru_hbm, rubuf)],
+        qpd_sem, slot, ci,
+    )
+    BND = lambda slot, ci: _group([(lx_hbm, lxbuf), (ux_hbm, uxbuf)], bnd_sem, slot, ci)
+
+    def start(cps):
+        for c in cps:
+            c.start()
+
+    def wait(cps):
+        for c in cps:
+            c.wait()
+
+    def k_out(slot, ci):
+        return pltpu.make_async_copy(
+            Kbuf.at[slot], K_any.at[pl.ds(ci * C, C)], kout_sem.at[slot]
+        )
+
+    def k_in(slot, ci):
+        return pltpu.make_async_copy(
+            K_any.at[pl.ds(ci * C, C)], Kbuf.at[slot], kin_sem.at[slot]
+        )
+
+    # ---- init: dx = du = 0, slacks clipped to the interior, duals mu0/s ----
+    s_min = 1e-2
+    dx_s[...] = jnp.zeros((T + 1, nx, L), f32)
+    du_s[...] = jnp.zeros((T, nu, L), f32)
+    slu_s[...] = jnp.maximum(-lu_ref[...], s_min)
+    suu_s[...] = jnp.maximum(uu_ref[...], s_min)
+    llu_s[...] = mu0 / slu_s[...]
+    luu_s[...] = mu0 / suu_s[...]
+
+    def init_x(k, lx_k, ux_k):
+        if soft:
+            # Bounded-multiplier L1-soft state bounds (ops/boxqp.py).
+            elx_s[k] = jnp.full((nx, L), s_min, f32)
+            eux_s[k] = jnp.full((nx, L), s_min, f32)
+            slx_s[k] = jnp.maximum(s_min - lx_k, s_min)
+            sux_s[k] = jnp.maximum(ux_k + s_min, s_min)
+            llx_s[k] = jnp.minimum(mu0 / slx_s[k], 0.49 * soft_rho)
+            lux_s[k] = jnp.minimum(mu0 / sux_s[k], 0.49 * soft_rho)
+            nulx_s[k] = soft_rho - llx_s[k]
+            nuux_s[k] = soft_rho - lux_s[k]
+        else:
+            slx_s[k] = jnp.maximum(-lx_k, s_min)
+            sux_s[k] = jnp.maximum(ux_k, s_min)
+            llx_s[k] = mu0 / slx_s[k]
+            lux_s[k] = mu0 / sux_s[k]
+
+    m_total = 2.0 * ((T + 1) * nx + T * nu) + (2.0 * (T + 1) * nx if soft else 0.0)
+
+    eye_x = jnp.eye(nx, dtype=f32)[:, :, None]
+    eye_u = jnp.eye(nu, dtype=f32)[:, :, None]
+
+    def ratio(v, d, t):
+        return jnp.where(d < 0, -t * v / jnp.minimum(d, -1e-30), jnp.inf)
+
+    # ---- per-stage slack/dual algebra; bounds arrive as chunk values ----
+    def x_parts(k, lx_k, ux_k):
+        slx_k, sux_k = slx_s[k], sux_s[k]
+        llx_k, lux_k = llx_s[k], lux_s[k]
+        if soft:
+            elx_k, eux_k = elx_s[k], eux_s[k]
+            nlx_k, nux_k = nulx_s[k], nuux_s[k]
+            r_sl = dx_s[k] + elx_k - lx_k - slx_k
+            r_su = ux_k + eux_k - dx_s[k] - sux_k
+            return (slx_k, sux_k, llx_k, lux_k, r_sl, r_su,
+                    elx_k, eux_k, nlx_k, nux_k)
+        r_sl = dx_s[k] - lx_k - slx_k
+        r_su = ux_k - dx_s[k] - sux_k
+        return slx_k, sux_k, llx_k, lux_k, r_sl, r_su
+
+    def x_weights(parts):
+        s_l, s_u, l_l, l_u = parts[:4]
+        if soft:
+            e_l, e_u, n_l, n_u = parts[6:10]
+            den_l = jnp.maximum(s_l * n_l + e_l * l_l, l_l * n_l * 1e-6)
+            den_u = jnp.maximum(s_u * n_u + e_u * l_u, l_u * n_u * 1e-6)
+            return l_l * n_l / den_l, l_u * n_u / den_u, den_l, den_u
+        return l_l / s_l, l_u / s_u, None, None
+
+    def u_parts(k):
+        slu_k, suu_k = slu_s[k], suu_s[k]
+        llu_k, luu_k = llu_s[k], luu_s[k]
+        r_sl = du_s[k] - lu_ref[k] - slu_k
+        r_su = uu_ref[k] - du_s[k] - suu_k
+        return slu_k, suu_k, llu_k, luu_k, r_sl, r_su
+
+    def rc_pair(parts, dda_k, mode, mu, target):
+        s_l, s_u, l_l, l_u, r_sl, r_su = parts
+        c_l = s_l * l_l
+        c_u = s_u * l_u
+        if mode == "fixed":
+            return c_l - mu[None, :], c_u - mu[None, :]
+        if mode == "corrector":
+            ds_l = dda_k + r_sl
+            ds_u = r_su - dda_k
+            dl_l = -(s_l * l_l + l_l * ds_l) / s_l
+            dl_u = -(s_u * l_u + l_u * ds_u) / s_u
+            return (
+                c_l + ds_l * dl_l - target[None, :],
+                c_u + ds_u * dl_u - target[None, :],
+            )
+        return c_l, c_u  # affine
+
+    def corr_of(parts, rc_l, rc_u):
+        s_l, s_u, l_l, l_u, r_sl, r_su = parts
+        return (rc_l + l_l * r_sl) / s_l - (rc_u + l_u * r_su) / s_u
+
+    def dsdl_of(parts, rc_l, rc_u, dd_k):
+        s_l, s_u, l_l, l_u, r_sl, r_su = parts
+        ds_l = dd_k + r_sl
+        ds_u = r_su - dd_k
+        dl_l = -(rc_l + l_l * ds_l) / s_l
+        dl_u = -(rc_u + l_u * ds_u) / s_u
+        return ds_l, ds_u, dl_l, dl_u
+
+    def x_cg(parts, rc):
+        s_l, s_u, l_l, l_u, r_sl, r_su, e_l, e_u, n_l, n_u = parts
+        rc_l, rc_u, re_l, re_u = rc
+        _, _, den_l, den_u = x_weights(parts)
+        cg_l = (l_l * n_l * r_sl + n_l * rc_l - l_l * re_l) / den_l
+        cg_u = (l_u * n_u * r_su + n_u * rc_u - l_u * re_u) / den_u
+        return cg_l, cg_u
+
+    def x_dsdl(parts, rc, dd_k):
+        if not soft:
+            return dsdl_of(parts, rc[0], rc[1], dd_k) + (None, None)
+        w_l, w_u, _, _ = x_weights(parts)
+        cg_l, cg_u = x_cg(parts, rc)
+        e_l, e_u, n_l, n_u = parts[6:10]
+        r_sl, r_su = parts[4:6]
+        re_l, re_u = rc[2:]
+        dl_l = -(w_l * dd_k + cg_l)
+        dl_u = w_u * dd_k - cg_u
+        de_l = (-re_l + e_l * dl_l) / n_l
+        de_u = (-re_u + e_u * dl_u) / n_u
+        ds_l = dd_k + de_l + r_sl
+        ds_u = -dd_k + de_u + r_su
+        return ds_l, ds_u, dl_l, dl_u, de_l, de_u
+
+    def x_rc(parts, dda_k, mode, mu, target):
+        if not soft:
+            return rc_pair(parts, dda_k, mode, mu, target)
+        s_l, s_u, l_l, l_u = parts[:4]
+        e_l, e_u, n_l, n_u = parts[6:10]
+        c_l, c_u = s_l * l_l, s_u * l_u
+        ce_l, ce_u = e_l * n_l, e_u * n_u
+        affine = (c_l, c_u, ce_l, ce_u)
+        if mode == "fixed":
+            m = mu[None, :]
+            return c_l - m, c_u - m, ce_l - m, ce_u - m
+        if mode == "corrector":
+            ds_l, ds_u, dl_l, dl_u, de_l, de_u = x_dsdl(parts, affine, dda_k)
+            t = target[None, :]
+            return (
+                c_l + ds_l * dl_l - t,
+                c_u + ds_u * dl_u - t,
+                ce_l - de_l * dl_l - t,
+                ce_u - de_u * dl_u - t,
+            )
+        return affine
+
+    def x_corr_sig(k, lx_k, ux_k, mode, mu, target):
+        parts = x_parts(k, lx_k, ux_k)
+        dda_k = ddxa_s[k] if mode == "corrector" else None
+        rc = x_rc(parts, dda_k, mode, mu, target)
+        if soft:
+            cg_l, cg_u = x_cg(parts, rc)
+            corr = cg_l - cg_u
+        else:
+            corr = corr_of(parts, rc[0], rc[1])
+        w_l, w_u, _, _ = x_weights(parts)
+        sig = w_l + w_u
+        return corr, sig
+
+    def u_corr_sig(k, mode, mu, target):
+        parts = u_parts(k)
+        dda_k = ddua_s[k] if mode == "corrector" else None
+        rc_l, rc_u = rc_pair(parts, dda_k, mode, mu, target)
+        corr = corr_of(parts, rc_l, rc_u)
+        sig = parts[2] / parts[0] + parts[3] / parts[1]
+        return corr, sig
+
+    # ---- generic forward chunk loop over the state-bound stream ----
+    # body(k, lx_k, ux_k, carry) runs for stages 0..T-1 with the chunked bound
+    # values; the caller handles the terminal stage with lxT/uxT afterwards.
+    def bnd_loop(body, carry0):
+        start(BND(0, 0))
+
+        def chunk_body(ci, carry):
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci < n_chunks - 1)
+            def _():
+                start(BND(1 - slot, ci + 1))
+
+            wait(BND(slot, ci))
+
+            def stage_body(kk, carry):
+                k = ci * C + kk
+                return body(k, lxbuf[slot, kk], uxbuf[slot, kk], carry)
+
+            return jax.lax.fori_loop(0, C, stage_body, carry)
+
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+
+    # ---- initialization of the x-type slacks/duals (streamed bounds) ----
+    def init_body(k, lx_k, ux_k, c):
+        init_x(k, lx_k, ux_k)
+        return c
+
+    bnd_loop(init_body, 0)
+    init_x(T, lxT_ref[...], uxT_ref[...])
+
+    # ---- streamed backward Riccati sweep (all three read groups + K spill) --
+    def backward(mode, mu, target, compute_rdyn: bool):
+        start(AB(0, n_chunks - 1))
+        start(QPD(0, n_chunks - 1))
+        start(BND(0, n_chunks - 1))
+        corr_T, sig_T = x_corr_sig(
+            T, lxT_ref[...], uxT_ref[...], mode, mu, target
+        )
+        P0 = eye_x * (qdT_ref[...] + sig_T)[None, :, :]
+        p0 = qdT_ref[...] * dx_s[T] + qxT_ref[...] - llx_s[T] + lux_s[T] + corr_T
+
+        def chunk_body(i, Pp):
+            ci = n_chunks - 1 - i
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(ci > 0)
+            def _():
+                start(AB(1 - slot, ci - 1))
+                start(QPD(1 - slot, ci - 1))
+                start(BND(1 - slot, ci - 1))
+
+            # The K chunk buffer for this slot was last used two chunks ago
+            # (ci + 2); its spill-out DMA must land before we overwrite it.
+            @pl.when(i >= 2)
+            def _():
+                k_out(slot, ci + 2).wait()
+
+            wait(AB(slot, ci))
+            wait(QPD(slot, ci))
+            wait(BND(slot, ci))
+
+            def stage_body(j, Pp):
+                P, p = Pp
+                kk = C - 1 - j
+                k = ci * C + kk
+                Ak = Abuf[slot, kk]
+                Bk = Bbuf[slot, kk]
+                if compute_rdyn:
+                    rdyn_s[k] = (
+                        _mv(Ak, dx_s[k]) + _mv(Bk, du_s[k]) + rbuf[slot, kk]
+                        - dx_s[k + 1]
+                    )
+                corr_x, sig_x = x_corr_sig(
+                    k, lxbuf[slot, kk], uxbuf[slot, kk], mode, mu, target
+                )
+                corr_u, sig_u = u_corr_sig(k, mode, mu, target)
+                qd_k = qdbuf[slot, kk]
+                rd_k = rdbuf[slot, kk]
+                qhat = qd_k * dx_s[k] + qxbuf[slot, kk] - llx_s[k] + lux_s[k] + corr_x
+                rhat = rd_k * du_s[k] + rubuf[slot, kk] - llu_s[k] + luu_s[k] + corr_u
+                Fr_p = _mv(P, rdyn_s[k]) + p
+                AtP = _mm(_t(Ak), P)
+                BtP = _mm(_t(Bk), P)
+                Gxx = _mm(AtP, Ak) + eye_x * (qd_k + sig_x)[None, :, :]
+                Guu = _mm(BtP, Bk) + eye_u * (rd_k + sig_u)[None, :, :]
+                Gxu = _mm(AtP, Bk)
+                gx = qhat + _mv(_t(Ak), Fr_p)
+                gu = rhat + _mv(_t(Bk), Fr_p)
+                rhs = jnp.concatenate([_t(Gxu), gu[:, None, :]], axis=1)
+                sol = _chol4_solve(Guu, rhs)
+                K = -sol[:, :nx, :]
+                kff = -sol[:, nx, :]
+                Kbuf[slot, kk] = K
+                kff_s[k] = kff
+                P = Gxx + _mm(Gxu, K)
+                P = 0.5 * (P + _t(P))
+                p = gx + _mv(Gxu, kff)
+                return (P, p)
+
+            Pp = jax.lax.fori_loop(0, C, stage_body, Pp)
+            k_out(slot, ci).start()
+            return Pp
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (P0, p0))
+        # Drain the in-flight K spills (the last two chunks' DMAs) before the
+        # rollout reads K_any back in.
+        k_out((n_chunks - 1) % 2, 0).wait()
+        if n_chunks >= 2:
+            k_out((n_chunks - 2) % 2, 1).wait()
+
+    # ---- streamed forward rollout (A/B + K read-in) ----
+    def forward(ddx_ref, ddu_ref):
+        start(AB(0, 0))
+        k_in(0, 0).start()
+        ddx_ref[0] = jnp.zeros((nx, L), f32)
+
+        def chunk_body(ci, ddx_prev):
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci < n_chunks - 1)
+            def _():
+                start(AB(1 - slot, ci + 1))
+                k_in(1 - slot, ci + 1).start()
+
+            wait(AB(slot, ci))
+            k_in(slot, ci).wait()
+
+            def stage_body(kk, ddx_prev):
+                k = ci * C + kk
+                ddu = _mv(Kbuf[slot, kk], ddx_prev) + kff_s[k]
+                ddx_next = (
+                    _mv(Abuf[slot, kk], ddx_prev) + _mv(Bbuf[slot, kk], ddu)
+                    + rdyn_s[k]
+                )
+                ddu_ref[k] = ddu
+                ddx_ref[k + 1] = ddx_next
+                return ddx_next
+
+            return jax.lax.fori_loop(0, C, stage_body, ddx_prev)
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.zeros((nx, L), f32))
+
+    # ---- stage-looped elementwise phases over the bound stream ----
+    def steps_pass(ddx_ref, ddu_ref, mode, mu, target, t):
+        def body(k, lx_k, ux_k, carry):
+            a_p, a_d = carry
+            px = x_parts(k, lx_k, ux_k)
+            dda_k = ddxa_s[k] if mode == "corrector" else None
+            rcx = x_rc(px, dda_k, mode, mu, target)
+            dsx = x_dsdl(px, rcx, ddx_ref[k])
+            a_p = jnp.minimum(a_p, jnp.min(ratio(px[0], dsx[0], t), axis=0))
+            a_p = jnp.minimum(a_p, jnp.min(ratio(px[1], dsx[1], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(px[2], dsx[2], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(px[3], dsx[3], t), axis=0))
+            if soft:
+                a_p = jnp.minimum(a_p, jnp.min(ratio(px[6], dsx[4], t), axis=0))
+                a_p = jnp.minimum(a_p, jnp.min(ratio(px[7], dsx[5], t), axis=0))
+                a_d = jnp.minimum(a_d, jnp.min(ratio(px[8], -dsx[2], t), axis=0))
+                a_d = jnp.minimum(a_d, jnp.min(ratio(px[9], -dsx[3], t), axis=0))
+            pu = u_parts(k)
+            ddau_k = ddua_s[k] if mode == "corrector" else None
+            rcu = rc_pair(pu, ddau_k, mode, mu, target)
+            dsu = dsdl_of(pu, *rcu, ddu_ref[k])
+            a_p = jnp.minimum(a_p, jnp.min(ratio(pu[0], dsu[0], t), axis=0))
+            a_p = jnp.minimum(a_p, jnp.min(ratio(pu[1], dsu[1], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(pu[2], dsu[2], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(pu[3], dsu[3], t), axis=0))
+            return a_p, a_d
+
+        ones = jnp.ones((L,), f32)
+        a_p, a_d = bnd_loop(body, (ones, ones))
+        # terminal stage: x-type only
+        px = x_parts(T, lxT_ref[...], uxT_ref[...])
+        dda_k = ddxa_s[T] if mode == "corrector" else None
+        rcx = x_rc(px, dda_k, mode, mu, target)
+        dsx = x_dsdl(px, rcx, ddx_ref[T])
+        a_p = jnp.minimum(a_p, jnp.min(ratio(px[0], dsx[0], t), axis=0))
+        a_p = jnp.minimum(a_p, jnp.min(ratio(px[1], dsx[1], t), axis=0))
+        a_d = jnp.minimum(a_d, jnp.min(ratio(px[2], dsx[2], t), axis=0))
+        a_d = jnp.minimum(a_d, jnp.min(ratio(px[3], dsx[3], t), axis=0))
+        if soft:
+            a_p = jnp.minimum(a_p, jnp.min(ratio(px[6], dsx[4], t), axis=0))
+            a_p = jnp.minimum(a_p, jnp.min(ratio(px[7], dsx[5], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(px[8], -dsx[2], t), axis=0))
+            a_d = jnp.minimum(a_d, jnp.min(ratio(px[9], -dsx[3], t), axis=0))
+        return a_p, a_d
+
+    def gap_pass():
+        def body(k, g):
+            g = g + jnp.sum(slx_s[k] * llx_s[k] + sux_s[k] * lux_s[k], axis=0)
+            if soft:
+                g = g + jnp.sum(elx_s[k] * nulx_s[k] + eux_s[k] * nuux_s[k], axis=0)
+            return g + jnp.sum(slu_s[k] * llu_s[k] + suu_s[k] * luu_s[k], axis=0)
+
+        g = jax.lax.fori_loop(0, T, body, jnp.zeros((L,), f32))
+        g = g + jnp.sum(slx_s[T] * llx_s[T] + sux_s[T] * lux_s[T], axis=0)
+        if soft:
+            g = g + jnp.sum(elx_s[T] * nulx_s[T] + eux_s[T] * nuux_s[T], axis=0)
+        return g / m_total
+
+    def affine_gap_pass(ap_a, ad_a):
+        ap, ad = ap_a[None, :], ad_a[None, :]
+
+        def x_term(px, rcx, dd_k):
+            ds = x_dsdl(px, rcx, dd_k)
+            g = jnp.sum(
+                (px[0] + ap * ds[0]) * (px[2] + ad * ds[2])
+                + (px[1] + ap * ds[1]) * (px[3] + ad * ds[3]),
+                axis=0,
+            )
+            if soft:
+                g = g + jnp.sum(
+                    (px[6] + ap * ds[4]) * (px[8] - ad * ds[2])
+                    + (px[7] + ap * ds[5]) * (px[9] - ad * ds[3]),
+                    axis=0,
+                )
+            return g
+
+        def body(k, lx_k, ux_k, g):
+            px = x_parts(k, lx_k, ux_k)
+            rcx = x_rc(px, None, "affine", None, None)
+            g = g + x_term(px, rcx, ddxa_s[k])
+            pu = u_parts(k)
+            rcu = rc_pair(pu, None, "affine", None, None)
+            dsu = dsdl_of(pu, *rcu, ddua_s[k])
+            return g + jnp.sum(
+                (pu[0] + ap * dsu[0]) * (pu[2] + ad * dsu[2])
+                + (pu[1] + ap * dsu[1]) * (pu[3] + ad * dsu[3]),
+                axis=0,
+            )
+
+        g = bnd_loop(body, jnp.zeros((L,), f32))
+        px = x_parts(T, lxT_ref[...], uxT_ref[...])
+        rcx = x_rc(px, None, "affine", None, None)
+        g = g + x_term(px, rcx, ddxa_s[T])
+        return g / m_total
+
+    def update_pass(mode, mu, target, a_p, a_d):
+        ap = a_p[None, :]
+        ad = a_d[None, :]
+
+        def x_update(k, lx_k, ux_k):
+            px = x_parts(k, lx_k, ux_k)
+            dda_k = ddxa_s[k] if mode == "corrector" else None
+            rcx = x_rc(px, dda_k, mode, mu, target)
+            dsx = x_dsdl(px, rcx, ddx_s[k])
+            dx_s[k] = dx_s[k] + ap * ddx_s[k]
+            slx_s[k] = px[0] + ap * dsx[0]
+            sux_s[k] = px[1] + ap * dsx[1]
+            llx_s[k] = px[2] + ad * dsx[2]
+            lux_s[k] = px[3] + ad * dsx[3]
+            if soft:
+                elx_s[k] = px[6] + ap * dsx[4]
+                eux_s[k] = px[7] + ap * dsx[5]
+                nulx_s[k] = px[8] - ad * dsx[2]
+                nuux_s[k] = px[9] - ad * dsx[3]
+
+        def body(k, lx_k, ux_k, c):
+            x_update(k, lx_k, ux_k)
+            pu = u_parts(k)
+            ddau_k = ddua_s[k] if mode == "corrector" else None
+            rcu = rc_pair(pu, ddau_k, mode, mu, target)
+            dsu = dsdl_of(pu, *rcu, ddu_s[k])
+            du_s[k] = du_s[k] + ap * ddu_s[k]
+            slu_s[k] = pu[0] + ap * dsu[0]
+            suu_s[k] = pu[1] + ap * dsu[1]
+            llu_s[k] = pu[2] + ad * dsu[2]
+            luu_s[k] = pu[3] + ad * dsu[3]
+            return c
+
+        bnd_loop(body, 0)
+        x_update(T, lxT_ref[...], uxT_ref[...])
+
+    def ip_iter_body(mu):
+        if mehrotra:
+            gap_now = gap_pass()
+            backward("affine", None, None, compute_rdyn=True)
+            forward(ddxa_s, ddua_s)
+            ap_a, ad_a = steps_pass(ddxa_s, ddua_s, "affine", None, None, 1.0)
+            gap_aff = affine_gap_pass(ap_a, ad_a)
+            sig = jnp.clip((gap_aff / jnp.maximum(gap_now, 1e-16)) ** 3, 1e-4, 1.0)
+            target = jnp.maximum(sig * gap_now, 1e-8 if soft else 1e-14)
+            backward("corrector", None, target, compute_rdyn=False)
+            forward(ddx_s, ddu_s)
+            a_p, a_d = steps_pass(ddx_s, ddu_s, "corrector", None, target, tau)
+            update_pass("corrector", None, target, a_p, a_d)
+        else:
+            backward("fixed", mu, None, compute_rdyn=True)
+            forward(ddx_s, ddu_s)
+            a_p, a_d = steps_pass(ddx_s, ddu_s, "fixed", mu, None, tau)
+            update_pass("fixed", mu, None, a_p, a_d)
+        return jnp.maximum(sigma * gap_pass(), 1e-8 if soft else 1e-12)
+
+    if adaptive_tol is None:
+        jax.lax.fori_loop(
+            0, n_ip, lambda it, mu: ip_iter_body(mu), jnp.full((L,), mu0, f32)
+        )
+    else:
+        mu_s[0, :] = jnp.full((L,), mu0, f32)
+
+        def ip_iter_adaptive(it, _):
+            mu = mu_s[0, :]
+            active = jnp.logical_not(jnp.all(mu <= adaptive_tol))
+
+            @pl.when(active)
+            def _():
+                mu_s[0, :] = ip_iter_body(mu)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_ip, ip_iter_adaptive, 0)
+    gap_out[0, :] = gap_pass()
+    # dx/du live in HBM (ANY): one whole-array DMA each from the resident state.
+    dxc = pltpu.make_async_copy(dx_s, dx_out, out_sem.at[0])
+    duc = pltpu.make_async_copy(du_s, du_out, out_sem.at[1])
+    dxc.start()
+    duc.start()
+    dxc.wait()
+    duc.wait()
+
+
+def _stream2_chunk_size(T: int) -> int:
+    """Largest divisor of T ≤ 4 — tier-2 chunks are smaller than tier-1's to
+    keep the (three-group + K) double buffers inside the VMEM budget at T≈200."""
+    for c in range(min(4, T), 0, -1):
+        if T % c == 0:
+            return c
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_ip", "mu0", "sigma", "tau", "adaptive_tol", "mehrotra", "soft_rho",
+        "interpret",
+    ),
+)
+def solve_ocp_qp_lanes_streamed2(
+    qp: LanesQp,
+    n_ip: int = 15,
+    mu0: float = 1e-1,
+    sigma: float = 0.2,
+    tau: float = 0.995,
+    adaptive_tol: float | None = None,
+    mehrotra: bool = False,
+    soft_rho: float | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Tier-2 streaming QP kernel for horizons past the tier-1 cap (T>112):
+    all read-only data (A/B, QP cost data, state boxes) streams from HBM per
+    chunk, K spills to HBM between sweeps, and only the IP state vectors stay
+    resident. See `_ip_kernel_body_streamed2`."""
+    T, nx, _, L = qp.A.shape
+    nu = qp.B.shape[2]
+    f32 = jnp.float32
+    C = _stream2_chunk_size(T)
+
+    if soft_rho is not None:
+        adaptive_tol = max(adaptive_tol or 0.0, 1e-8)
+    kernel = functools.partial(
+        _ip_kernel_body_streamed2, n_ip, mu0, sigma, tau, adaptive_tol, mehrotra,
+        soft_rho, C,
+    )
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Explicit HBM (NOT pl.ANY): the compiler placed the 4.9 MB K spill and du
+    # in VMEM under ANY at T=200, blowing the 16 MB scoped limit by 1.2 MB.
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
+    scratch = [
+        pltpu.VMEM((T + 1, nx, L), f32),  # dx
+        pltpu.VMEM((T, nu, L), f32),  # du
+        pltpu.VMEM((T + 1, nx, L), f32),  # s_lx
+        pltpu.VMEM((T + 1, nx, L), f32),  # s_ux
+        pltpu.VMEM((T, nu, L), f32),  # s_lu
+        pltpu.VMEM((T, nu, L), f32),  # s_uu
+        pltpu.VMEM((T + 1, nx, L), f32),  # lam_lx
+        pltpu.VMEM((T + 1, nx, L), f32),  # lam_ux
+        pltpu.VMEM((T, nu, L), f32),  # lam_lu
+        pltpu.VMEM((T, nu, L), f32),  # lam_uu
+        pltpu.VMEM((T, nu, L), f32),  # kff
+        pltpu.VMEM((T, nx, L), f32),  # r_dyn
+        pltpu.VMEM((1, L), f32),  # mu (adaptive-exit carry)
+        pltpu.VMEM((T + 1, nx, L), f32),  # ddx (Newton direction)
+        pltpu.VMEM((T, nu, L), f32),  # ddu
+        pltpu.VMEM((2, C, nx, nx, L), f32),  # A double buffer
+        pltpu.VMEM((2, C, nx, nu, L), f32),  # B double buffer
+        pltpu.VMEM((2, C, nx, L), f32),  # r buffer
+        pltpu.VMEM((2, C, nx, L), f32),  # qdiag buffer
+        pltpu.VMEM((2, C, nx, L), f32),  # qx buffer
+        pltpu.VMEM((2, C, nu, L), f32),  # rdiag buffer
+        pltpu.VMEM((2, C, nu, L), f32),  # ru buffer
+        pltpu.VMEM((2, C, nx, L), f32),  # lx buffer
+        pltpu.VMEM((2, C, nx, L), f32),  # ux buffer
+        pltpu.VMEM((2, C, nu, nx, L), f32),  # K chunk buffer (spill surface)
+        pltpu.SemaphoreType.DMA((2, 2)),  # A/B
+        pltpu.SemaphoreType.DMA((2, 5)),  # QP-data group
+        pltpu.SemaphoreType.DMA((2, 2)),  # bounds group
+        pltpu.SemaphoreType.DMA((2,)),  # K spill out
+        pltpu.SemaphoreType.DMA((2,)),  # K read in
+        pltpu.SemaphoreType.DMA((2,)),  # dx/du output DMA
+    ]
+    if mehrotra:
+        scratch += [
+            pltpu.VMEM((T + 1, nx, L), f32),  # ddx affine
+            pltpu.VMEM((T, nu, L), f32),  # ddu affine
+        ]
+    if soft_rho is not None:
+        scratch += [
+            pltpu.VMEM((T + 1, nx, L), f32),  # e_lx
+            pltpu.VMEM((T + 1, nx, L), f32),  # e_ux
+            pltpu.VMEM((T + 1, nx, L), f32),  # nu_lx
+            pltpu.VMEM((T + 1, nx, L), f32),  # nu_ux
+        ]
+    dx, du, K_spill, gap = pl.pallas_call(
+        kernel,
+        in_specs=[hbm() for _ in range(9)] + [vm() for _ in range(6)],
+        out_specs=[hbm(), hbm(), hbm(), vm()],
+        out_shape=[
+            jax.ShapeDtypeStruct((T + 1, nx, L), f32),
+            jax.ShapeDtypeStruct((T, nu, L), f32),
+            jax.ShapeDtypeStruct((T, nu, nx, L), f32),
+            jax.ShapeDtypeStruct((1, L), f32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(
+        qp.A, qp.B, qp.r, qp.qdiag[:T], qp.qx[:T], qp.rdiag, qp.ru,
+        qp.lx[:T], qp.ux[:T],
+        qp.lu, qp.uu, qp.qdiag[T], qp.qx[T], qp.lx[T], qp.ux[T],
+    )
+    del K_spill  # kernel-internal backward->forward spill surface
+    return dx, du, gap[0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1101,6 +1792,7 @@ def solve_ocp_qp_lanes_streamed(
         ],
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
     return dx, du, gap[0]
 
@@ -1193,5 +1885,6 @@ def solve_ocp_qp_lanes(
         ],
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(qp.A, qp.B, qp.r, qp.qdiag, qp.qx, qp.rdiag, qp.ru, qp.lx, qp.ux, qp.lu, qp.uu)
     return dx, du, gap[0]

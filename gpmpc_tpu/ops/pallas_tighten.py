@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gpmpc_tpu.ops.pallas_ocp import VMEM_LIMIT_BYTES
+
 from gpmpc_tpu.ops.pallas_ocp import LANES, _mm, _t
 
 
@@ -126,6 +128,7 @@ def tighten_lanes(
             ],
             scratch_shapes=[pltpu.VMEM((nx, nx, LANES), f32)],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
         )(
             covdn_t,
             jnp.broadcast_to(Ad.astype(f32)[:, :, None], (nx, nx, LANES)),

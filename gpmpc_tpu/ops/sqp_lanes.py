@@ -24,6 +24,7 @@ from gpmpc_tpu.ops.pallas_ocp import (
     LanesQp,
     solve_ocp_qp_lanes,
     solve_ocp_qp_lanes_streamed,
+    solve_ocp_qp_lanes_streamed2,
 )
 from gpmpc_tpu.ops.sqp import (
     OcpBounds,
@@ -34,36 +35,50 @@ from gpmpc_tpu.ops.sqp import (
 )
 
 
-# All-resident kernel VMEM cap. After the accumulating-matmul rewrite (small
-# live temporaries) T=50 compiles and solves on v5e (validated; gap ~1e-7).
-# Beyond it the lanes path switches to the streaming-DMA kernel, which keeps
-# only the IP state vectors resident and double-buffers A/B through HBM — its
-# cap is the resident vector state (~100 KiB/stage on a 16 MiB-VMEM core).
+# All-resident kernel cap. After the accumulating-matmul rewrite (small live
+# temporaries) T=50 compiles and solves on v5e (validated; gap ~1e-7). Round 5
+# lifted the Mosaic scoped-VMEM budget from its 16 MiB compiler default to
+# 112 MB (pallas_ocp.VMEM_LIMIT_BYTES — a 120 MB scratch allocation compiles
+# and runs on this v5e), so the caps below are set by measured compile times
+# and validated runs, not by the old 16 MiB wall. The resident kernel's
+# fully-unrolled stage loops make its COMPILE time scale with T (224 s at
+# T=200 through the remote-compile service), so it keeps a moderate cap and
+# the fori_loop-based streamed kernels (3 s compiles) take over beyond it.
 MAX_LANES_HORIZON = 50
-# Mehrotra keeps a second full set of direction arrays live (affine predictor):
-# measured scoped-VMEM 18.55M at T=50 (16M limit) on v5e, so the all-resident
-# kernel gets a tighter cap in that mode; beyond it the streamed kernel (stage-
-# looped elementwise phases, A/B via DMA) takes over.
-MAX_LANES_HORIZON_MEHROTRA = 25
-MAX_STREAM_HORIZON = 112
-# Soft state bounds keep four extra (T+1, nx, L) arrays resident in the
-# streamed kernel (violation slacks e and the explicit penalty duals nu), so
-# the resident-vector-state cap drops from ~118 KiB/stage to ~142 KiB/stage.
-MAX_STREAM_HORIZON_SOFT = 88
+# With the raised VMEM budget the Mehrotra resident kernel (which keeps a
+# second full set of direction arrays + the round-5 shared-factorization
+# stores) now compiles and solves at T=50 on v5e (validated); it shares the
+# resident cap.
+MAX_LANES_HORIZON_MEHROTRA = 50
+# Tier-1 streaming (A/B via chunked DMA, everything else resident): cap set by
+# the resident vector state against the 112 MB budget; validated compile+solve
+# on v5e at T=200 and T=400 (gap <= 4e-8, finite).
+MAX_STREAM_HORIZON = 400
+# Soft state bounds keep four extra (T+1, nx, L) arrays resident (violation
+# slacks e and the explicit penalty duals nu); validated at T=320.
+MAX_STREAM_HORIZON_SOFT = 320
+# Tier-2 streaming (pallas_ocp.solve_ocp_qp_lanes_streamed2): QP data + state
+# boxes stream per chunk and K spills to HBM between sweeps, so only the IP
+# state vectors stay resident (~90 KB/stage incl. sublane padding). Validated
+# on v5e at T=200 and the cap sizes below.
+MAX_STREAM2_HORIZON = 1024
+MAX_STREAM2_HORIZON_SOFT = 768
 # The in-kernel linearizer is stage-looped (one stage's temporaries live at a
-# time), so it covers the full lanes range; validated on v5e at T=50 and T=100.
+# time); its output arrays (A: ~100 KB/stage) fit the raised budget across the
+# tier-1 range. Validated on v5e at T=50, T=100, and T=200.
 MAX_FUSED_HORIZON = MAX_STREAM_HORIZON
 
 
 def _lane_width(T: int) -> int:
     """Lane-tile width. The lane axis is physically padded to 128, so narrowing
-    tiles does NOT reduce VMEM — the lanes path requires T <= MAX_STREAM_HORIZON
-    (all-resident kernel to MAX_LANES_HORIZON, A/B-streaming kernel beyond;
-    callers fall back to the XLA backend for longer horizons)."""
-    if T > MAX_STREAM_HORIZON:
+    tiles does NOT reduce VMEM — the lanes path requires T <= MAX_STREAM2_HORIZON
+    (all-resident kernel to MAX_LANES_HORIZON, A/B-streaming kernel to
+    MAX_STREAM_HORIZON, tier-2 streaming beyond; callers fall back to the XLA
+    backend for longer horizons)."""
+    if T > MAX_STREAM2_HORIZON:
         raise ValueError(
-            f"lanes backend supports horizons up to {MAX_STREAM_HORIZON} (got {T}); "
-            "use the xla backend (optionally with parallel_scan) for longer horizons"
+            f"lanes backend supports horizons up to {MAX_STREAM2_HORIZON} (got {T}); "
+            "use the xla backend for longer horizons"
         )
     return LANES
 
@@ -74,9 +89,9 @@ def lanes_resident_cap(cfg: SqpConfig) -> int:
 
 
 def lanes_horizon_cap(cfg: SqpConfig) -> int:
-    """Largest horizon the lanes backend serves for this config (resident or
-    streamed kernel; soft state bounds shrink the streamed cap)."""
-    return MAX_STREAM_HORIZON_SOFT if cfg.soft_x_penalty is not None else MAX_STREAM_HORIZON
+    """Largest horizon the lanes backend serves for this config (resident,
+    tier-1 or tier-2 streamed kernel; soft state bounds shrink the caps)."""
+    return MAX_STREAM2_HORIZON_SOFT if cfg.soft_x_penalty is not None else MAX_STREAM2_HORIZON
 
 
 def lanes_serves(cfg: SqpConfig, T: int) -> bool:
@@ -89,27 +104,29 @@ def lanes_serves(cfg: SqpConfig, T: int) -> bool:
 
 
 def _solve_qp_lanes(qp: LanesQp, cfg: SqpConfig, interpret: bool):
-    """Dispatch one lane tile to the all-resident or A/B-streaming IP kernel."""
+    """Dispatch one lane tile to the all-resident, tier-1 (A/B-streaming), or
+    tier-2 (fully-streamed) IP kernel by horizon."""
     T = qp.A.shape[0]
-    if T <= lanes_resident_cap(cfg):
-        return solve_ocp_qp_lanes(
-            qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
-            mehrotra=cfg.qp_mehrotra, soft_rho=cfg.soft_x_penalty,
-            interpret=interpret,
-        )
-    if cfg.soft_x_penalty is not None and T > MAX_STREAM_HORIZON_SOFT:
-        # Callers gate this (control/gpmpc.py falls back to clamped hard
-        # bounds, with a warning); reaching here means the gate was skipped.
-        raise ValueError(
-            "soft state bounds in the lanes backend are supported up to "
-            f"T={MAX_STREAM_HORIZON_SOFT} (got {T}); use hard bounds or the "
-            "xla backend"
-        )
-    return solve_ocp_qp_lanes_streamed(
-        qp, n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
+    kw = dict(
+        n_ip=cfg.qp_iters, adaptive_tol=cfg.qp_tol,
         mehrotra=cfg.qp_mehrotra, soft_rho=cfg.soft_x_penalty,
         interpret=interpret,
     )
+    if T <= lanes_resident_cap(cfg):
+        return solve_ocp_qp_lanes(qp, **kw)
+    soft = cfg.soft_x_penalty is not None
+    if T <= (MAX_STREAM_HORIZON_SOFT if soft else MAX_STREAM_HORIZON):
+        return solve_ocp_qp_lanes_streamed(qp, **kw)
+    if T > (MAX_STREAM2_HORIZON_SOFT if soft else MAX_STREAM2_HORIZON):
+        # Callers gate this (control/gpmpc.py falls back with a warning);
+        # reaching here means the gate was skipped.
+        raise ValueError(
+            f"lanes backend serves horizons up to "
+            f"T={MAX_STREAM2_HORIZON_SOFT if soft else MAX_STREAM2_HORIZON} "
+            f"{'with soft state bounds ' if soft else ''}(got {T}); use the "
+            "xla backend"
+        )
+    return solve_ocp_qp_lanes_streamed2(qp, **kw)
 
 
 def _to_lane_tiles(x: jax.Array, n_tiles: int, lanes: int) -> jax.Array:

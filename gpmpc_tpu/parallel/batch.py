@@ -31,13 +31,25 @@ from gpmpc_tpu.models.symbolic import SymbolicModel
 from gpmpc_tpu.ops.sqp import SqpConfig
 
 
+class DispatchDecision(NamedTuple):
+    """Outcome of `dispatch_decision`. `degraded` is the structured warning
+    policy: True iff the path is below what was requested for a reason the
+    user did NOT explicitly configure (horizon caps, missing family closure,
+    GP population) — the silent-cliff class the one-shot warnings exist for.
+    Unpacks as a (path, reason[, degraded]) tuple for existing callers."""
+
+    path: str
+    reason: str
+    degraded: bool = False
+
+
 def dispatch_decision(
     cfg: SqpConfig, spec, T: int, gp_batched: bool = False, backend: str = "lanes"
-) -> tuple[str, str]:
-    """(path, reason) the dispatcher will take for this configuration.
+) -> DispatchDecision:
+    """(path, reason, degraded) the dispatcher will take for this configuration.
 
     The single source of truth for backend dispatch — `batched_gpmpc_step`
-    executes exactly this decision, the fallback warnings quote its reason,
+    executes exactly this decision, the fallback warnings fire iff `degraded`,
     `tests/test_dispatch.py` asserts every cell, and the README dispatch
     matrix is generated from it (`scripts/gen_dispatch_table.py`). Paths:
 
@@ -50,32 +62,36 @@ def dispatch_decision(
     )
 
     if backend != "lanes":
-        return "xla", "requested explicitly"
+        return DispatchDecision("xla", "requested explicitly")
     if not lanes_serves(cfg, T):
         soft = " with soft state bounds" if cfg.soft_x_penalty is not None else ""
-        return "xla", (
+        return DispatchDecision("xla", (
             f"horizon T={T} exceeds the lanes cap ({lanes_horizon_cap(cfg)}{soft}); "
-            "the XLA path serves any horizon (~150x slower per solve at the "
-            "reference problem size — see README dispatch matrix)"
-        )
+            "the XLA path serves any horizon (orders of magnitude slower per "
+            "solve — measured 200x at T=200 — see README dispatch matrix)"
+        ), degraded=True)
     if gp_batched:
-        return "lanes", (
+        return DispatchDecision("lanes", (
             "per-scenario GP population: linearization runs vmapped under XLA "
             "(each scenario has its own Gram); QP + tightening stay in lanes"
-        )
+        ), degraded=True)
     if not cfg.kernel_linearize:
-        return "lanes", "kernel_linearize disabled; jacfwd linearization + lanes QP"
+        return DispatchDecision(
+            "lanes", "kernel_linearize disabled; jacfwd linearization + lanes QP"
+        )
     if not spec.supports_kernel_linearize:
-        return "lanes", (
+        return DispatchDecision("lanes", (
             f"model family '{spec.name}' has no in-kernel linearizer closure "
             "(ops/pallas_linearize.py registry); jacfwd linearization + lanes QP"
-        )
+        ), degraded=True)
     if T > MAX_FUSED_HORIZON:
-        return "lanes", (
+        return DispatchDecision("lanes", (
             f"horizon T={T} exceeds the fused-path cap ({MAX_FUSED_HORIZON}); "
             "jacfwd linearization + lanes QP"
-        )
-    return "lanes-fused", "in-kernel linearizer + lanes QP (the flagship path)"
+        ), degraded=True)
+    return DispatchDecision(
+        "lanes-fused", "in-kernel linearizer + lanes QP (the flagship path)"
+    )
 
 
 # One-time structured fallback warnings (VERDICT r3 item 6: no silent 150x
@@ -83,21 +99,20 @@ def dispatch_decision(
 _DISPATCH_WARNED: set[str] = set()
 
 
-def _warn_dispatch(requested: str, path: str, reason: str):
-    # Explicit user choices (backend="xla", kernel_linearize=False) are not
-    # degradations and stay silent; everything else that lands below the
-    # flagship path warns once (horizon cap, missing family closure, GP
-    # population — the VERDICT-r3 silent-fallback list).
-    if requested != "lanes" or path == "lanes-fused" or "disabled" in reason:
+def _warn_dispatch(decision: DispatchDecision):
+    # Explicit user choices (backend="xla", kernel_linearize=False) carry
+    # degraded=False from dispatch_decision and stay silent; every genuine
+    # degradation warns once per distinct reason.
+    if not decision.degraded:
         return
-    if reason in _DISPATCH_WARNED:
+    if decision.reason in _DISPATCH_WARNED:
         return
-    _DISPATCH_WARNED.add(reason)
+    _DISPATCH_WARNED.add(decision.reason)
     import warnings
 
     warnings.warn(
         f"gpmpc dispatch: lanes backend requested but taking the "
-        f"'{path}' path — {reason}",
+        f"'{decision.path}' path — {decision.reason}",
         stacklevel=3,
     )
 
@@ -126,8 +141,9 @@ def batched_gpmpc_step(
     T = consts.mpc.uref.shape[0]
     gp_batched = gp.Zs.ndim == 4  # per-scenario GP population
     spec = gpmpc_mod.model_spec(model)
-    path, reason = dispatch_decision(cfg, spec, T, gp_batched, backend)
-    _warn_dispatch(backend, path, reason)
+    decision = dispatch_decision(cfg, spec, T, gp_batched, backend)
+    path = decision.path
+    _warn_dispatch(decision)
     if path.startswith("lanes"):
         return gpmpc_mod.batched_select_action_lanes(
             model, cfg, consts, gp, states, obs,

@@ -23,6 +23,8 @@ from gpmpc_tpu.ops.sqp_lanes import (
     MAX_FUSED_HORIZON,
     MAX_STREAM_HORIZON,
     MAX_STREAM_HORIZON_SOFT,
+    MAX_STREAM2_HORIZON,
+    MAX_STREAM2_HORIZON_SOFT,
 )
 from gpmpc_tpu.parallel.batch import dispatch_decision
 
@@ -36,15 +38,23 @@ MATRIX = [
     ((CFG, QUADROTOR_SPEC, 25, False, "lanes"), ("lanes-fused", "flagship")),
     ((CFG, CARTPOLE_SPEC, 25, False, "lanes"), ("lanes-fused", "flagship")),
     ((CFG, TWOLINK_SPEC, 25, False, "lanes"), ("lanes-fused", "flagship")),
-    # largest served horizon still rides lanes; one past it falls to XLA
-    ((CFG, QUADROTOR_SPEC, MAX_STREAM_HORIZON, False, "lanes"),
+    # the fused path serves up to its cap; past it the QP stays in lanes with
+    # jacfwd linearization (the tier-2 streaming band, round 5)
+    ((CFG, QUADROTOR_SPEC, MAX_FUSED_HORIZON, False, "lanes"),
      ("lanes-fused", "flagship")),
-    ((CFG, QUADROTOR_SPEC, MAX_STREAM_HORIZON + 1, False, "lanes"),
+    ((CFG, QUADROTOR_SPEC, MAX_FUSED_HORIZON + 1, False, "lanes"),
+     ("lanes", "fused-path cap")),
+    ((CFG, QUADROTOR_SPEC, MAX_STREAM2_HORIZON, False, "lanes"),
+     ("lanes", "fused-path cap")),
+    ((CFG, QUADROTOR_SPEC, MAX_STREAM2_HORIZON + 1, False, "lanes"),
      ("xla", "exceeds the lanes cap")),
-    # soft state bounds shrink the cap
+    # soft state bounds shrink the caps
     ((CFG._replace(soft_x_penalty=10.0), QUADROTOR_SPEC,
-      MAX_STREAM_HORIZON_SOFT + 1, False, "lanes"),
+      MAX_STREAM2_HORIZON_SOFT + 1, False, "lanes"),
      ("xla", "soft state bounds")),
+    ((CFG._replace(soft_x_penalty=10.0), QUADROTOR_SPEC,
+      MAX_STREAM2_HORIZON_SOFT, False, "lanes"),
+     ("lanes", "fused-path cap")),
     ((CFG._replace(soft_x_penalty=10.0), QUADROTOR_SPEC,
       MAX_STREAM_HORIZON_SOFT, False, "lanes"),
      ("lanes-fused", "flagship")),
@@ -63,17 +73,44 @@ MATRIX = [
 @pytest.mark.parametrize("case", MATRIX, ids=[f"cell{i}" for i in range(len(MATRIX))])
 def test_dispatch_matrix(case):
     (cfg, spec, T, gp_batched, backend), (want_path, want_reason) = case
-    path, reason = dispatch_decision(cfg, spec, T, gp_batched, backend)
-    assert path == want_path, (path, reason)
-    assert want_reason in reason, reason
+    d = dispatch_decision(cfg, spec, T, gp_batched, backend)
+    assert d.path == want_path, (d.path, d.reason)
+    assert want_reason in d.reason, d.reason
 
 
-def test_fused_cap_equals_lanes_cap_today():
-    """MAX_FUSED_HORIZON == MAX_STREAM_HORIZON currently, so there is no
-    'lanes but not fused' horizon band; if the fused cap ever drops below the
-    stream cap, dispatch_decision's fused-cap branch starts firing and a
-    matrix cell must be added here."""
+def test_degraded_flag_is_structured():
+    """Warning policy keys off dispatch_decision's `degraded` flag, not on
+    substring matching of the reason text (a reason containing the word
+    'disabled' must not silently suppress a genuine degradation warning)."""
+    # explicit user choices: not degraded
+    assert not dispatch_decision(CFG, QUADROTOR_SPEC, 25, False, "xla").degraded
+    assert not dispatch_decision(
+        CFG._replace(kernel_linearize=False), QUADROTOR_SPEC, 25, False, "lanes"
+    ).degraded
+    assert not dispatch_decision(CFG, QUADROTOR_SPEC, 25, False, "lanes").degraded
+    # genuine degradations: flagged regardless of wording
+    assert dispatch_decision(
+        CFG, QUADROTOR_SPEC, MAX_STREAM2_HORIZON + 1, False, "lanes"
+    ).degraded
+    assert dispatch_decision(
+        CFG, QUADROTOR_SPEC, MAX_FUSED_HORIZON + 1, False, "lanes"
+    ).degraded
+    assert dispatch_decision(CFG, QUADROTOR_SPEC, 25, True, "lanes").degraded
+    assert dispatch_decision(
+        CFG,
+        dataclasses.replace(QUADROTOR_SPEC, name="custom", supports_kernel_linearize=False),
+        25, False, "lanes",
+    ).degraded
+
+
+def test_cap_ordering():
+    """The documented three-tier cap ordering: fused == tier-1 stream cap,
+    tier-2 extends beyond it, and the soft caps sit below their hard
+    counterparts. The MATRIX cells above cover the bands these induce."""
     assert MAX_FUSED_HORIZON == MAX_STREAM_HORIZON
+    assert MAX_STREAM_HORIZON < MAX_STREAM2_HORIZON
+    assert MAX_STREAM_HORIZON_SOFT < MAX_STREAM_HORIZON
+    assert MAX_STREAM2_HORIZON_SOFT < MAX_STREAM2_HORIZON
 
 
 def test_horizon_fallback_warns_once():
@@ -89,7 +126,7 @@ def test_horizon_fallback_warns_once():
     from gpmpc_tpu.parallel.batch import batched_gpmpc_step
     from gpmpc_tpu.utils.benchkit import synthetic_cartpole_gp_model
 
-    T = MAX_STREAM_HORIZON + 8
+    T = MAX_STREAM2_HORIZON + 8
     env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
     model = cartpole_mod.symbolic_cartpole(dt=0.02)
     ctrl = GPMPC(
@@ -188,3 +225,24 @@ def test_readme_dispatch_table_matches_generator():
         "README dispatch matrix drifted from scripts/gen_dispatch_table.py "
         "output — regenerate and paste verbatim"
     )
+
+
+def test_forced_lanes_backend_validates_horizon_cap():
+    """step_backend='lanes' forced past the lanes cap must fail at backend
+    resolution with an error naming the knob and the cap, not at trace time
+    inside the lanes kernel (advisor finding, round 4)."""
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs import cartpole_env
+    from gpmpc_tpu.ops.sqp_lanes import MAX_STREAM2_HORIZON
+
+    env = cartpole_env.CartpoleTrackEnv(cartpole_env.EnvParams.default())
+    model = cartpole_mod.symbolic_cartpole(dt=0.02)
+    ctrl = GPMPC(
+        model, env.trajectory, None, horizon=MAX_STREAM2_HORIZON + 4,
+        q_mpc=[5.0, 0.1, 20.0, 0.5], r_mpc=[0.05],
+        sparse_gp=True, max_gp_samples=10, seed=1, max_gp_points=32,
+        sqp_iters=2, qp_iters=3, step_backend="lanes",
+        bounds=(cartpole_mod.state_bounds(), cartpole_mod.input_bounds()),
+    )
+    with pytest.raises(ValueError, match="step_backend='lanes'.*lanes cap"):
+        ctrl._resolve_step_backend()

@@ -237,3 +237,63 @@ def test_compat_surface_matches_reference_semantics():
     k2 = np.asarray(covSE_vectorized(x[0], x[:6], 1.0, 2.0))
     np.testing.assert_allclose(k1, k2, atol=1e-6)
     assert k1[0] == np.float32(2.0)  # k(x, x) = sf2
+
+
+def test_overtrained_fit_recovers_instead_of_raising():
+    """Round-4 verdict item 3: long Adam runs (the config default is
+    iterations=500) over-train the likelihood noise toward zero until the f32
+    Gram loses positive-definiteness; through round 4 this crashed
+    select_action. The jitter escalation (`_robust_cholesky`) must keep the
+    fit, the posterior, and predictions finite instead."""
+    from gpmpc_tpu.gp.exact_gp import (
+        GPHypers, _masked_gram, _robust_cholesky, posterior, predict_mean,
+        predict_var,
+    )
+
+    rng = np.random.default_rng(0)
+    # Exactly-duplicated inputs + a hyper state in the over-trained regime
+    # (noise driven to ~2e-9, far below where a rank-deficient Gram is safe).
+    # Note the PLAIN factorization survives this on CPU LAPACK (its pivot
+    # errors are locally, not globally, bounded) — the historical crash
+    # reproduced on the real twolink residual dataset (CPU) and under the
+    # TPU's bf16 matmul precision. The end-to-end regression coverage is the
+    # twolink learning-loop test at the config-default iterations=500
+    # (tests/test_learning_loop.py); this unit test pins the recovery
+    # properties of the escalation path itself.
+    x = np.repeat(rng.normal(size=(30, 3)).astype(np.float32), 8, axis=0)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    data = GPData(
+        x=jnp.asarray(x), y=jnp.asarray(y), mask=jnp.ones(x.shape[0], jnp.float32)
+    )
+    bad = GPHypers(
+        raw_lengthscale=jnp.asarray(0.0, jnp.float32),
+        raw_outputscale=jnp.asarray(0.0, jnp.float32),
+        raw_noise=jnp.asarray(-20.0, jnp.float32),
+    )
+    chol = _robust_cholesky(data, bad)
+    assert bool(jnp.all(jnp.isfinite(chol)))
+    # Escalation levels change nothing when the plain factorization is clean.
+    clean = GPHypers(
+        raw_lengthscale=jnp.asarray(0.0, jnp.float32),
+        raw_outputscale=jnp.asarray(0.0, jnp.float32),
+        raw_noise=jnp.asarray(0.0, jnp.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_robust_cholesky(data, clean)),
+        np.asarray(jnp.linalg.cholesky(_masked_gram(data, clean))),
+    )
+
+    # The full fit from the poisoned state stays finite and usable.
+    hypers, loss = fit_gp(data, hypers=bad, n_train=100, lr=0.05)
+    assert np.isfinite(float(loss))
+    post = posterior(hypers, data)
+    mu = predict_mean(hypers, data, post, jnp.asarray(x[:5]))
+    var = predict_var(hypers, data, post, jnp.asarray(x[:5]))
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.isfinite(np.asarray(var)))
+
+    # And a long fit from the default init on the same degenerate dataset
+    # (the over-training trajectory itself) stays finite end to end.
+    hypers2, loss2 = fit_gp(data, n_train=500, lr=0.05)
+    assert np.isfinite(float(loss2))
+    assert np.all(np.isfinite(np.asarray(posterior(hypers2, data).alpha)))

@@ -443,37 +443,58 @@ def test_streamed_soft_T52_matches_boxqp():
 # Cap-boundary matrix (round-3 item 7): one parity test per published lanes
 # horizon cap, importing the caps so the tests track any future change.
 # ---------------------------------------------------------------------------
+from gpmpc_tpu.ops.pallas_ocp import solve_ocp_qp_lanes_streamed2  # noqa: E402
 from gpmpc_tpu.ops.sqp_lanes import (  # noqa: E402
     MAX_LANES_HORIZON,
     MAX_LANES_HORIZON_MEHROTRA,
     MAX_STREAM_HORIZON,
     MAX_STREAM_HORIZON_SOFT,
+    MAX_STREAM2_HORIZON,
+    MAX_STREAM2_HORIZON_SOFT,
 )
 
+# Interpret-mode wall time scales linearly with T; past this, a single cell
+# would run for tens of CPU-minutes. Caps above it are tested at the ceiling
+# here and validated AT the cap on hardware (v5e compile+solve probes, gap <=
+# 4e-8: T=400 tier-1, T=320 tier-1 soft, T=1024 tier-2, T=768 tier-2 soft —
+# docs/EXPERIMENTS_r5.md §2).
+_INTERPRET_T_CEILING = 112
+
 _CAP_CELLS = [
-    # (name, horizon, streamed, mehrotra, soft_rho)
-    ("resident", MAX_LANES_HORIZON, False, False, None),
-    ("resident_mehrotra", MAX_LANES_HORIZON_MEHROTRA, False, True, None),
-    ("streamed", MAX_STREAM_HORIZON, True, False, None),
-    ("streamed_mehrotra", MAX_STREAM_HORIZON, True, True, None),
-    ("streamed_soft", MAX_STREAM_HORIZON_SOFT, True, False, 40.0),
-    ("streamed_soft_mehrotra", MAX_STREAM_HORIZON_SOFT, True, True, 40.0),
+    # (name, horizon, solver_kind, mehrotra, soft_rho)
+    ("resident", MAX_LANES_HORIZON, "resident", False, None),
+    ("resident_mehrotra", MAX_LANES_HORIZON_MEHROTRA, "resident", True, None),
+    ("streamed", MAX_STREAM_HORIZON, "streamed", False, None),
+    ("streamed_mehrotra", MAX_STREAM_HORIZON, "streamed", True, None),
+    ("streamed_soft", MAX_STREAM_HORIZON_SOFT, "streamed", False, 40.0),
+    ("streamed_soft_mehrotra", MAX_STREAM_HORIZON_SOFT, "streamed", True, 40.0),
+    ("streamed2", MAX_STREAM2_HORIZON, "streamed2", False, None),
+    ("streamed2_mehrotra", MAX_STREAM2_HORIZON, "streamed2", True, None),
+    ("streamed2_soft_mehrotra", MAX_STREAM2_HORIZON_SOFT, "streamed2", True, 40.0),
 ]
+
+_SOLVERS = {
+    "resident": solve_ocp_qp_lanes,
+    "streamed": solve_ocp_qp_lanes_streamed,
+    "streamed2": solve_ocp_qp_lanes_streamed2,
+}
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "name,t,streamed,mehrotra,soft", _CAP_CELLS, ids=[c[0] for c in _CAP_CELLS]
+    "name,t,kind,mehrotra,soft", _CAP_CELLS, ids=[c[0] for c in _CAP_CELLS]
 )
-def test_lanes_cap_boundary_parity(name, t, streamed, mehrotra, soft):
-    """Every published horizon cap gets a dedicated parity point AT the cap —
-    cap-boundary configs (e.g. soft+Mehrotra at the soft cap) previously had
-    no coverage, so a regression at the edge of the VMEM budget would surface
+def test_lanes_cap_boundary_parity(name, t, kind, mehrotra, soft):
+    """Every published horizon cap gets a dedicated parity point at the cap
+    (clamped to the interpret ceiling — see _INTERPRET_T_CEILING) — cap-
+    boundary configs (e.g. soft+Mehrotra at the soft cap) previously had no
+    coverage, so a regression at the edge of the VMEM budget would surface
     only on hardware."""
+    t = min(t, _INTERPRET_T_CEILING)
     d = make_batch(11, t=t, scale=0.25)
     qp_lanes = to_lanes(d)
     n_iter = 10
-    solver = solve_ocp_qp_lanes_streamed if streamed else solve_ocp_qp_lanes
+    solver = _SOLVERS[kind]
     dx, du, gap = solver(
         qp_lanes, n_ip=n_iter, mehrotra=mehrotra, soft_rho=soft, interpret=True
     )
@@ -503,8 +524,8 @@ def test_lanes_dispatch_preserves_soft_semantics():
 
     hard = SqpConfig()
     soft = SqpConfig(soft_x_penalty=50.0)
-    assert lanes_serves(hard, MAX_STREAM_HORIZON)
-    assert not lanes_serves(hard, MAX_STREAM_HORIZON + 1)
-    assert lanes_serves(soft, MAX_STREAM_HORIZON_SOFT)
-    assert not lanes_serves(soft, MAX_STREAM_HORIZON_SOFT + 1)
-    assert not lanes_serves(soft, MAX_STREAM_HORIZON)  # soft shrinks the cap
+    assert lanes_serves(hard, MAX_STREAM2_HORIZON)
+    assert not lanes_serves(hard, MAX_STREAM2_HORIZON + 1)
+    assert lanes_serves(soft, MAX_STREAM2_HORIZON_SOFT)
+    assert not lanes_serves(soft, MAX_STREAM2_HORIZON_SOFT + 1)
+    assert not lanes_serves(soft, MAX_STREAM2_HORIZON)  # soft shrinks the cap
