@@ -104,14 +104,17 @@ def seed_sweep(
     # reference's eval_seed contract) and an epoch-key chain for collection.
     eval_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(seed_keys)
 
-    def eval_cost(gp, gp_batched):
+    # Multi-process meshes forbid CLOSING OVER global arrays (they span
+    # non-addressable devices), so the per-seed key tables are explicit
+    # arguments of every jitted function here.
+    def eval_cost(gp, eval_keys, gp_batched):
         ep = batched_episode(
             model, cfg, env_params, consts, gp, eval_keys, n_steps,
             use_gp=True, gp_batched=gp_batched, env_mod=env_mod, backend=backend,
         )
         return -ep.rewards.sum(axis=-1)  # (S,)
 
-    def epoch_step(epoch_idx, gp, bufx, bufy):
+    def epoch_step(epoch_idx, gp, bufx, bufy, seed_keys, eval_keys):
         # 1. Data-parallel collection: each seed one closed-loop episode with
         #    its own current GP (untrained GP -> prior controller).
         collect_keys = jax.vmap(
@@ -154,17 +157,18 @@ def seed_sweep(
         gp = jax.vmap(refit)(bufx, bufy, fit_keys)
 
         # 4. Held-out evaluation with the refit controllers.
-        cost = eval_cost(gp, gp_batched=True)
+        cost = eval_cost(gp, eval_keys, gp_batched=True)
         return gp, bufx, bufy, cost
 
     gp0 = empty_gp_model(cap, max_inducing if sparse else cap, spec=spec)
-    prior_cost = jax.jit(partial(eval_cost, gp_batched=False))(gp0)
+    prior_cost = jax.jit(partial(eval_cost, gp_batched=False))(gp0, eval_keys)
 
     bufx = jnp.zeros((n_seeds, cap, spec.z_dim), jnp.float32)
     bufy = jnp.zeros((n_seeds, cap, spec.num_gps), jnp.float32)
     gp = jax.tree.map(lambda l: jnp.broadcast_to(l[None], (n_seeds,) + l.shape), gp0)
 
     if mesh is not None:
+        import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if n_seeds % mesh.size != 0:
@@ -172,18 +176,37 @@ def seed_sweep(
         # Every per-seed leaf (incl. the broadcast `trained` flag) has a leading
         # seed axis; committing the operands is enough — jit propagates the
         # shardings through the SPMD epoch program, no annotations needed.
+        # make_array_from_callback (not device_put): when the mesh spans
+        # multiple PROCESSES (scripts/run_multihost.py --sweep), each process
+        # may only place its own addressable shards — device_put onto
+        # non-addressable devices is illegal; the callback form assembles the
+        # global array shard-by-shard and is equivalent single-process.
         seeded = NamedSharding(mesh, P(mesh.axis_names[0]))
 
         def shard(t):
-            return jax.tree.map(lambda l: jax.device_put(l, seeded), t)
+            def _mk(leaf):
+                host = np.asarray(leaf)
+                return jax.make_array_from_callback(
+                    host.shape, seeded, lambda idx: host[idx]
+                )
+
+            return jax.tree.map(_mk, t)
 
         gp, bufx, bufy = shard(gp), shard(bufx), shard(bufy)
         seed_keys, eval_keys = shard(seed_keys), shard(eval_keys)
+        # The prior row was computed process-locally (before sharding);
+        # globalize it replicated so the final stack is a pure-global op —
+        # multi-process jax forbids mixing host-local and global operands.
+        repl = NamedSharding(mesh, P())
+        host_prior = np.asarray(prior_cost)
+        prior_cost = jax.make_array_from_callback(
+            host_prior.shape, repl, lambda idx: host_prior[idx]
+        )
 
     step = jax.jit(epoch_step)  # one compile for ALL epochs (traced epoch_idx)
     costs = [prior_cost]
     for e in range(n_epochs):
-        gp, bufx, bufy, cost = step(jnp.asarray(e), gp, bufx, bufy)
+        gp, bufx, bufy, cost = step(jnp.asarray(e), gp, bufx, bufy, seed_keys, eval_keys)
         costs.append(cost)
 
     n_points = jnp.arange(n_epochs + 1) * samples_per_epoch

@@ -55,6 +55,19 @@ def parse_args(argv=None):
         help="after the sharded run, recompute the step locally (unsharded) "
         "and assert cross-process / sharded-vs-local parity",
     )
+    ap.add_argument(
+        "--sweep", type=int, default=0, metavar="N_SEEDS",
+        help="instead of the closed-loop step benchmark, run an N_SEEDS-seed "
+        "learning sweep (parallel/sweep.py) with the seed axis sharded over "
+        "the global (multi-process) mesh; --parity compares the sharded "
+        "cost matrix against a local unsharded recomputation",
+    )
+    ap.add_argument(
+        "--worker-timeout", type=float, default=600.0,
+        help="per-worker wait in --virtual-hosts mode; keep BELOW any outer "
+        "subprocess timeout so a hung worker is reaped here (with its "
+        "siblings), not by an external kill of the orchestrator",
+    )
     # Worker-mode plumbing (set by the --virtual-hosts orchestrator, not by hand).
     ap.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--num-processes", type=int, default=None, help=argparse.SUPPRESS)
@@ -65,14 +78,20 @@ def parse_args(argv=None):
 def orchestrate_virtual_hosts(args) -> int:
     """Spawn N copies of this script as local 'hosts' sharing one coordinator."""
     import socket
-
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
+    import tempfile
 
     n = args.virtual_hosts
     devices_per_host = args.virtual or 2
+
+    # Hold the probe socket bound until immediately before spawning: the old
+    # bind/close/spawn sequence left a window for another process to claim the
+    # port (TOCTOU — advisor finding, round 4). The coordinator itself sets
+    # SO_REUSEADDR, so it can bind while this socket lingers in TIME_WAIT.
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+
     base = [
         sys.executable, os.path.abspath(__file__),
         "--scenarios", str(args.scenarios), "--steps", str(args.steps),
@@ -81,15 +100,15 @@ def orchestrate_virtual_hosts(args) -> int:
         "--virtual", str(devices_per_host),
         "--coordinator", f"127.0.0.1:{port}",
         "--num-processes", str(n),
+        "--sweep", str(args.sweep),
     ]
     if args.parity:
         base.append("--parity")
     # Workers write to temp files, not PIPEs: a later worker filling a 64KB
     # pipe while an earlier one is barriered in a collective would deadlock a
     # sequential drain.
-    import tempfile
-
     logs = [tempfile.TemporaryFile(mode="w+", prefix=f"vhost{i}_") for i in range(n)]
+    s.close()
     procs = [
         subprocess.Popen(
             base + ["--process-id", str(i)],
@@ -97,16 +116,33 @@ def orchestrate_virtual_hosts(args) -> int:
         )
         for i in range(n)
     ]
+    # One shared deadline (--worker-timeout, default 600 s — kept below the
+    # callers' outer subprocess timeouts so a hang is reaped HERE); on the
+    # first failure or timeout, kill every sibling so no worker outlives the
+    # orchestrator blocked in a collective.
+    deadline = time.monotonic() + args.worker_timeout
     rc = 0
     for i, p in enumerate(procs):
         try:
-            p.wait(timeout=900)
+            p.wait(timeout=max(0.1, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            rc = rc or 1
+        if rc == 0 and p.returncode not in (0, None):
+            rc = p.returncode or 1
+        if rc != 0:
+            break
+    if rc != 0:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p in procs:
+        try:
+            p.wait(timeout=30)
         except subprocess.TimeoutExpired:
             p.kill()
             p.wait()
-            rc = rc or 1
         if p.returncode != 0:
-            rc = p.returncode or 1
+            rc = rc or p.returncode or 1
     for i, f in enumerate(logs):
         f.seek(0)
         # Process 0 carries the metric line; echo every host's output with a
@@ -115,6 +151,79 @@ def orchestrate_virtual_hosts(args) -> int:
             print(line if i == 0 and not line.startswith("[") else f"[host{i}] {line}")
         f.close()
     return rc
+
+
+def run_sweep(args, pid: int, n_dev: int):
+    """Multi-process seed sweep: S learning runs, seed axis sharded over the
+    global (DCN) mesh; --parity recomputes unsharded locally and compares.
+
+    Exercises the round-4 gap: `parallel/sweep.py::seed_sweep` with `mesh`
+    spanning multiple PROCESSES (the make_array_from_callback sharding path),
+    not just multiple devices of one process."""
+    import time as _time
+
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpmpc_tpu.control.gpmpc import GPMPC
+    from gpmpc_tpu.envs import drone
+    from gpmpc_tpu.envs.drone import DroneFigureEightEnv
+    from gpmpc_tpu.models.symbolic import symbolic_attitude
+    from gpmpc_tpu.parallel.mesh import make_mesh
+    from gpmpc_tpu.parallel.sweep import seed_sweep
+    from gpmpc_tpu.utils.benchkit import Q_MPC as q, R_MPC as r, reference_prior_dict
+
+    S = args.sweep
+    n_epochs = 2
+    n_steps = max(args.steps, 20)
+    prior = reference_prior_dict()
+    env = DroneFigureEightEnv()
+    model = symbolic_attitude(dt=0.02, params=prior)
+    ctrl = GPMPC(
+        model, env.trajectory, prior, horizon=args.horizon, q_mpc=q, r_mpc=r,
+        sparse_gp=True, max_gp_samples=10, seed=1, max_gp_points=64,
+        sqp_iters=3, qp_iters=6,
+    )
+    kw = dict(
+        n_seeds=S, n_epochs=n_epochs, n_steps=n_steps,
+        samples_per_epoch=min(16, n_steps), max_inducing=10, sparse=True,
+        gp_iters=20, master_seed=0, env_mod=drone, backend=args.backend,
+    )
+    mesh = make_mesh(n_dev)
+    t0 = _time.perf_counter()
+    res = seed_sweep(model, ctrl.cfg, env.p, ctrl.consts, mesh=mesh, **kw)
+    # Reshard the (epochs+1, S) cost matrix to replicated: every host then
+    # holds the full value in its local shards (legal to read anywhere).
+    costs = np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(res.costs)
+    )
+    dt = _time.perf_counter() - t0
+
+    if args.parity:
+        res_local = seed_sweep(model, ctrl.cfg, env.p, ctrl.consts, mesh=None, **kw)
+        dcost = float(np.max(np.abs(costs - np.asarray(res_local.costs))))
+        rel = dcost / max(1e-9, float(np.max(np.abs(costs))))
+        ok = rel < 1e-3
+        print(
+            f"SWEEP-PARITY pid={pid} max|dcost|={dcost:.3e} rel={rel:.3e} ok={ok}",
+            flush=True,
+        )
+        if not ok:
+            sys.exit(3)
+
+    if pid == 0:
+        improved = int(np.sum(costs[-1] < costs[0]))
+        print(json.dumps({
+            "metric": (
+                f"sweep[multihost_{jax.process_count()}proc_{n_dev}dev_"
+                f"S{S}_{args.backend}]"
+            ),
+            "seeds_improved": improved, "n_seeds": S,
+            "wall_s": round(dt, 1),
+            "mean_cost_prior": round(float(costs[0].mean()), 4),
+            "mean_cost_final": round(float(costs[-1].mean()), 4),
+        }))
 
 
 def main():
@@ -159,6 +268,8 @@ def main():
 
     pid = jax.process_index()
     n_dev = len(jax.devices())
+    if args.sweep:
+        return run_sweep(args, pid, n_dev)
     B = args.scenarios - (args.scenarios % n_dev) or n_dev
     mesh = make_mesh(n_dev)
     shard = NamedSharding(mesh, P("data"))
