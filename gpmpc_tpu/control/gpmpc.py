@@ -236,7 +236,9 @@ def train_gp_models(
     else:
         M = data.x.shape[1]
         eye = jnp.eye(M, dtype=data.x.dtype)
-        W = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(post.chol)
+        # Train-time factorization: full-precision solves (see exact_gp.fit_gp).
+        with jax.default_matmul_precision("highest"):
+            W = jax.vmap(lambda c: jax.scipy.linalg.cho_solve((c, True), eye))(post.chol)
         Zs, alpha_s = data.x, post.alpha
         var_Z, var_mask = data.x, data.mask
 
@@ -297,7 +299,12 @@ def gp_variances(gp: GpModel, z_slices: jax.Array, bf16: bool = False) -> jax.Ar
                 preferred_element_type=jnp.float32,
             )
         else:
-            t = k @ W
+            # Full-precision quadratic form: for a floor-noise GP the W
+            # entries reach ~1/noise (1e5-ish) and cancel to a variance ~1e-2;
+            # the TPU default (bf16 MXU passes) turns that cancellation into
+            # garbage tightenings. The opt-in bf16 branch above stays the
+            # documented fast-and-loose mode.
+            t = jnp.matmul(k, W, precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(sf2_i - jnp.sum(t * k, axis=-1), 1e-12)
 
     covs = jax.vmap(var_one)(gp.var_Z, gp.var_mask, gp.var_mat, ell, sf2, z_flat)
@@ -356,6 +363,17 @@ def tightening_from_variances(
     nx = consts.Ad.shape[0]
     cov_dn = disturbance_diagonals(consts, gp, zq, covs_diag, spec)
 
+    # Tiny (nx, nx) matmuls — pin full precision (see select_action's note);
+    # cost is negligible, and the recursion squares any bf16 round-off T times.
+    return _tightening_scan_highest(consts, cov_dn, zq.dtype, nx)
+
+
+def _tightening_scan_highest(consts, cov_dn, dtype, nx):
+    with jax.default_matmul_precision("highest"):
+        return _tightening_scan(consts, cov_dn, dtype, nx)
+
+
+def _tightening_scan(consts, cov_dn, dtype, nx):
     K = consts.lqr_gain
     A, B, Bd = consts.Ad, consts.Bd_in, consts.Bd
     ppf = consts.inverse_cdf
@@ -374,7 +392,7 @@ def tightening_from_variances(
         )
         return cov_next, (t_x, t_u)
 
-    cov0 = jnp.zeros((nx, nx), zq.dtype)
+    cov0 = jnp.zeros((nx, nx), dtype)
     cov_T, (t_x_path, t_u) = jax.lax.scan(step, cov0, cov_dn)
     t_x_term = ppf * jnp.sqrt(jnp.maximum(jnp.diag(cov_T), 0.0))
     t_x = jnp.concatenate([t_x_path, t_x_term[None]], axis=0)
@@ -627,7 +645,22 @@ def select_action(
     state: MpcState,
     obs: jax.Array,
 ) -> tuple[jax.Array, MpcState, mpc_mod.MpcInfo]:
-    """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368."""
+    """One GP-MPC step (pure). ≙ GPMPC.select_action, gpmpc.py:334-368.
+
+    Matmul precision is pinned to full f32: TPU f32 matmuls default to bf16
+    MXU passes, and a GP trained to its noise floor (the config-default
+    500-iteration fit) produces ill-conditioned posterior algebra whose bf16
+    round-off compounds through jacfwd linearization -> Riccati until the
+    solve NaNs — reproduced round 5 (identical program + GP: CPU clean, TPU
+    NaN; global "highest" clean). This is the XLA fallback path, so the pin
+    costs nothing on the production lanes path (whose Pallas kernels manage
+    their own precision and are TPU-validated against the C++ oracle).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _select_action_highest(model, cfg, consts, gp, state, obs)
+
+
+def _select_action_highest(model, cfg, consts, gp, state, obs):
     c = consts.mpc
     xref, bounds, X_init, U_init, clamp_frac = prepare_step(
         model, consts, gp, state, obs, soft=cfg.soft_x_penalty is not None
@@ -748,7 +781,10 @@ def batched_select_action_lanes(
                 A, Bm = jax.vmap(jax.jacfwd(fd_g, argnums=(0, 1)))(Xb, Ub)
                 return jax.vmap(fd_g)(Xb, Ub), A, Bm
 
-            return jax.vmap(one)(gp, X, U)
+            # Full-precision Jacobians: each scenario's GP in the population
+            # may sit at its noise floor (see select_action's precision note).
+            with jax.default_matmul_precision("highest"):
+                return jax.vmap(one)(gp, X, U)
 
         sol = sqp_solve_batch_lanes(
             None, cost, bounds, obs, X_init, U_init, cfg, interpret=interpret,

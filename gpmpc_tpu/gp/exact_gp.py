@@ -191,6 +191,17 @@ def fit_gp(
     if hypers is None:
         hypers = init_hypers(data.x.dtype)
 
+    # TPU: f32 matmuls default to bf16 MXU passes, and a long Adam run drives
+    # the likelihood noise toward its floor until the Gram's conditioning
+    # exceeds bf16's 8-bit mantissa — the config-default 500-iteration fit
+    # NaN'd on TPU (clean on CPU, round 5) exactly like the round-2 Riccati.
+    # The fit is off the control hot path, so full-precision matmuls cost
+    # nothing that matters; see also _robust_cholesky's jitter escalation.
+    with jax.default_matmul_precision("highest"):
+        return _fit_gp_highest(data, hypers, n_train, lr)
+
+
+def _fit_gp_highest(data, hypers, n_train, lr):
     loss_fn = lambda h: -marginal_log_likelihood(h, data)
     grad_fn = jax.value_and_grad(loss_fn)
     zeros = jax.tree.map(jnp.zeros_like, hypers)
@@ -229,9 +240,14 @@ def fit_gp(
 
 def posterior(hypers: GPHypers, data: GPData) -> GPPosterior:
     """Factorize K + sigma^2 I and cache alpha = K^-1 y (≙ compute_covariances,
-    gp.py:43-46, but Cholesky-based; same jitter escalation as the fit)."""
-    chol = _robust_cholesky(data, hypers)
-    alpha = jax.scipy.linalg.cho_solve((chol, True), data.y)
+    gp.py:43-46, but Cholesky-based; same jitter escalation as the fit).
+
+    Full-precision matmuls for the same reason as fit_gp: the trained noise sits
+    near its floor, where the bf16-precision Gram can lose positive-definiteness.
+    """
+    with jax.default_matmul_precision("highest"):
+        chol = _robust_cholesky(data, hypers)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), data.y)
     return GPPosterior(chol=chol, alpha=alpha)
 
 

@@ -74,6 +74,16 @@ def fitc_posterior(
     (/root/reference/gpmpc/gpmpc.py:8,443-445): both trade an O(N^2) exact form
     for a low-rank one computed at train time.
     """
+    # Train-time factorization off the control hot path: pin full-precision
+    # matmuls (TPU f32 matmuls default to bf16 MXU passes; the near-rank-1
+    # K_ss factorizations here are exactly the conditioning regime that loses
+    # positive-definiteness at bf16 — same class as the round-2 Riccati NaN
+    # and round 5's 500-iteration fit NaN in exact_gp.fit_gp).
+    with jax.default_matmul_precision("highest"):
+        return _fitc_posterior_highest(hypers, data, idx, s_mask)
+
+
+def _fitc_posterior_highest(hypers, data, idx, s_mask):
     Zs = data.x[idx] * s_mask[:, None]
     ell, sf2, noise = hypers.lengthscale, hypers.outputscale, hypers.noise
     m = Zs.shape[0]
