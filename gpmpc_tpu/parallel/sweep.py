@@ -64,6 +64,7 @@ def seed_sweep(
     samples_per_epoch: int,
     max_inducing: int,
     sparse: bool = True,
+    ard: bool = False,
     gp_iters: int = 100,
     gp_lr: float = 0.05,
     master_seed: int = 0,
@@ -148,7 +149,7 @@ def seed_sweep(
             return train_gp_models(
                 pack_training_buffers(bx, by, n_active, spec), key,
                 sparse=sparse, max_inducing=max_inducing,
-                n_train=gp_iters, lr=gp_lr,
+                n_train=gp_iters, lr=gp_lr, ard=ard,
             )
 
         fit_keys = jax.vmap(
@@ -160,7 +161,7 @@ def seed_sweep(
         cost = eval_cost(gp, eval_keys, gp_batched=True)
         return gp, bufx, bufy, cost
 
-    gp0 = empty_gp_model(cap, max_inducing if sparse else cap, spec=spec)
+    gp0 = empty_gp_model(cap, max_inducing if sparse else cap, ard=ard, spec=spec)
     prior_cost = jax.jit(partial(eval_cost, gp_batched=False))(gp0, eval_keys)
 
     bufx = jnp.zeros((n_seeds, cap, spec.z_dim), jnp.float32)

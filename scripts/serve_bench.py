@@ -33,6 +33,12 @@ def main():
     p.add_argument("--backend", default="lanes")
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--pipeline", type=int, default=2, help="in-flight batch depth")
+    p.add_argument(
+        "--actions-per-step", type=int, default=1,
+        help="N-step action-horizon replies: each request returns the first N "
+        "actions of the plan and the client comes back after N plant steps — "
+        "amortizes the per-request round-trip (the tunnel fetch) over N actions",
+    )
     args = p.parse_args()
     if args.clients > args.tile:
         p.error(f"--clients {args.clients} > --tile {args.tile}: sessions are tile slots")
@@ -75,11 +81,13 @@ def main():
         use_gp=True,
     )
     obs_streams = np.asarray(jax.device_get(ep.obs))  # (n_streams, steps+1, 12)
+    nu = model.nu
 
+    n_act = args.actions_per_step
     server = ControlServer(
         model, ctrl.cfg, ctrl.consts, ctrl.gp_model,
         tile=args.tile, backend=args.backend, max_wait_ms=args.max_wait_ms,
-        pipeline_depth=args.pipeline,
+        pipeline_depth=args.pipeline, actions_per_step=n_act,
     )
     barrier = threading.Barrier(args.clients + 1)
 
@@ -91,11 +99,15 @@ def main():
         stream = obs_streams[i % len(obs_streams)]
         local: list[float] = []
         barrier.wait()  # start together (also absorbs the first-compile cost)
-        for k in range(args.steps):
+        # With N-step replies the client requests every N-th observation and
+        # applies the returned plan head open-loop in between — one round-trip
+        # per N control steps.
+        for k in range(0, args.steps, n_act):
             t0 = time.perf_counter()
             u = server.step(sid, stream[k])
             local.append(1e3 * (time.perf_counter() - t0))
             assert np.all(np.isfinite(u))
+            assert u.shape == ((nu,) if n_act == 1 else (n_act, nu))
         server.close_session(sid)
         with lat_lock:
             latencies_ms.extend(local)
@@ -117,16 +129,18 @@ def main():
     s1 = server.stats
     server.close()
 
-    total = args.clients * args.steps
+    requests_per_client = len(range(0, args.steps, n_act))
+    total = args.clients * requests_per_client * n_act  # actions delivered
     stats = type(s1)(s1.n_requests - s0.n_requests, s1.n_batches - s0.n_batches)
     lat = np.asarray(latencies_ms)
-    print(json.dumps({
+    out = {
         "metric": "served_actions_per_sec",
         "value": round(total / wall, 1),
         "unit": "actions/s",
         "clients": args.clients,
         "tile": args.tile,
         "backend": args.backend,
+        "actions_per_step": n_act,
         "mean_batch_size": round(stats.mean_batch_size, 2),
         "n_batches": stats.n_batches,
         "mean_dispatch_ms": round(1e3 * wall / stats.n_batches, 3),
@@ -135,7 +149,17 @@ def main():
         "latency_p50_ms": round(float(np.percentile(lat, 50)), 3),
         "latency_p95_ms": round(float(np.percentile(lat, 95)), 3),
         "latency_p99_ms": round(float(np.percentile(lat, 99)), 3),
-    }))
+    }
+    if n_act > 1:
+        # Amortized per-action latency: one round-trip buys N actions, so a
+        # 50 Hz control loop budgets request_latency / N per applied action.
+        out["effective_action_latency_p50_ms"] = round(
+            float(np.percentile(lat, 50)) / n_act, 3
+        )
+        out["effective_action_latency_p95_ms"] = round(
+            float(np.percentile(lat, 95)) / n_act, 3
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

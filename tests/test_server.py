@@ -416,3 +416,85 @@ def test_server_serves_nonquadrotor_family():
             np.testing.assert_allclose(act_seq[k], np.asarray(u_ref), atol=1e-4)
     finally:
         server.close()
+
+
+def test_actions_per_step_validation():
+    """N must sit inside the horizon, and N>1 excludes transition recording
+    (consecutive client observations would be N plant steps apart — poison for
+    the one-step residual targets)."""
+    env, model, ctrl = make_ctrl()
+    for bad in (0, 7):  # horizon is 6
+        with pytest.raises(ValueError, match="actions_per_step"):
+            ControlServer(
+                model, ctrl.cfg, ctrl.consts, ctrl.gp_model, tile=4,
+                backend="xla", actions_per_step=bad,
+            )
+    with pytest.raises(ValueError, match="recording"):
+        ControlServer(
+            model, ctrl.cfg, ctrl.consts, ctrl.gp_model, tile=4,
+            backend="xla", actions_per_step=2, record_capacity=16,
+        )
+
+
+@pytest.mark.slow
+def test_nstep_reply_head_matches_single_step():
+    """The N-step reply is the head of the SAME plan the 1-step server returns:
+    both servers solve from identical fresh state, so plan[0] == the 1-step
+    action, and the reply has shape (N, nu)."""
+    env, model, ctrl = make_ctrl()
+    s1 = ControlServer(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model, tile=4, backend="xla",
+        max_wait_ms=50.0,
+    )
+    sN = ControlServer(
+        model, ctrl.cfg, ctrl.consts, ctrl.gp_model, tile=4, backend="xla",
+        max_wait_ms=50.0, actions_per_step=3,
+    )
+    try:
+        obs, _ = env.reset(seed=3)
+        u1 = s1.step(s1.open_session(), obs)
+        plan = sN.step(sN.open_session(), obs)
+        assert plan.shape == (3, 4)
+        np.testing.assert_allclose(plan[0], u1, atol=1e-5)
+    finally:
+        s1.close()
+        sN.close()
+
+
+@pytest.mark.slow
+def test_nstep_closed_loop_quality():
+    """Staleness check behind the amortization (round-5 verdict item 6):
+    applying the plan head open-loop for N=3 steps between solves must track
+    nearly as well as replanning every step — the open-loop actions come from
+    a fresh solve at most N-1 steps old."""
+    n_act, n_steps = 3, 24
+
+    def rollout(actions_per_step):
+        env, model, ctrl = make_ctrl()
+        server = ControlServer(
+            model, ctrl.cfg, ctrl.consts, ctrl.gp_model, tile=4, backend="xla",
+            max_wait_ms=50.0, actions_per_step=actions_per_step,
+        )
+        try:
+            sid = server.open_session()
+            obs, _ = env.reset(seed=3)
+            cost = 0.0
+            k = 0
+            while k < n_steps:
+                plan = server.step(sid, obs)
+                plan = plan[None] if plan.ndim == 1 else plan
+                for u in plan:
+                    obs, reward, *_ = env.step(jnp.asarray(u))
+                    cost += -float(reward)
+                    k += 1
+                    if k >= n_steps:
+                        break
+            return cost
+        finally:
+            server.close()
+
+    cost_replan = rollout(1)
+    cost_nstep = rollout(n_act)
+    # identical plant/solver; only the replan cadence differs
+    assert np.isfinite(cost_nstep)
+    assert cost_nstep <= 2.0 * cost_replan + 1e-6, (cost_nstep, cost_replan)
