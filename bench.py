@@ -203,10 +203,16 @@ def main():
     )
     backend = os.environ.get("BENCH_BACKEND", "lanes")  # lanes | xla
     # In-kernel adaptive IP exit (acados semantics: exit at tolerance, max_iter
-    # as cap). Default-on at gap<=1e-7: warm-started solves converge in 2-3 IP
-    # iterations and the kernel predicates the rest away — measured 77.9k vs
-    # 38.1k solves/s at the default config. BENCH_QP_TOL=0 disables.
-    qp_tol = os.environ.get("BENCH_QP_TOL", "1e-7")
+    # as cap). Warm-started solves converge in 2-3 IP iterations and the kernel
+    # predicates the rest away — measured 77.9k vs 38.1k solves/s at the
+    # round-2 default config. Default gap tolerance is 1e-6 since round 5:
+    # acados's own default NLP tolerances are 1e-6 and the reference never
+    # overrides them (/root/reference/gpmpc/mpc.py:113-120 sets only max
+    # iterations), and the measured closed-loop difference vs 1e-7 is
+    # control RMSE 8.9e-6 / episode-cost delta 5.8e-6 (docs/EXPERIMENTS_r5.md
+    # section 5) — 100x inside the 1e-3 parity bar — for +20% throughput
+    # (165.4k vs 137.6k). BENCH_QP_TOL=0 disables (fixed iterations).
+    qp_tol = os.environ.get("BENCH_QP_TOL", "1e-6")
     if qp_tol and float(qp_tol) > 0:
         ctrl.cfg = ctrl.cfg._replace(qp_tol=float(qp_tol))
     if os.environ.get("BENCH_KERNEL_LIN", "1") == "1":

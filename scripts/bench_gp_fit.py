@@ -56,11 +56,14 @@ def main():
             x=jnp.asarray(x), y=jnp.asarray(y), mask=jnp.ones((n,), jnp.float32)
         )
         fit = jax.jit(lambda d: fit_gp(d, n_train=args.iters, lr=0.01))
+        # device_get is the ONLY honest completion barrier on remote-attached
+        # TPUs (block_until_ready is a no-op through the axon tunnel —
+        # docs/BENCH_NOTES.md); fetching the scalar loss forces the whole fit.
         t0 = time.perf_counter()
-        hyp, loss = jax.block_until_ready(fit(data))
+        loss = jax.device_get(fit(data)[1])
         compile_and_first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        hyp, loss = jax.block_until_ready(fit(data))
+        loss = jax.device_get(fit(data)[1])
         warm = time.perf_counter() - t0
         per_iter_ms = 1e3 * warm / args.iters
         print(json.dumps({

@@ -44,11 +44,14 @@ def test_eval_seeds_smoke(tmp_path):
     ], timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "seeds improved over prior" in r.stdout, r.stdout
-    # The artifact pair lands in the timestamped save dir the script printed.
+    # The artifact pair lands in the timestamped save dir the script printed
+    # ("artifacts: <dir>/learning_curve_seeds_<model>.png/.csv" — family-
+    # suffixed since the round-5 --model flag).
     line = [l for l in r.stdout.splitlines() if l.startswith("artifacts:")][0]
-    stem = Path(line.split(" ", 1)[1].rsplit(".png", 1)[0].replace("/learning_curve_seeds", "") )
-    assert (stem / "learning_curve_seeds.png").exists()
-    assert (stem / "learning_curve_seeds.csv").exists()
+    stem = Path(line.split(" ", 1)[1].rsplit(".png", 1)[0])
+    assert stem.name == "learning_curve_seeds_quadrotor", line
+    assert stem.with_suffix(".png").exists()
+    assert stem.with_suffix(".csv").exists()
 
 
 @pytest.mark.slow
